@@ -1,0 +1,41 @@
+"""Static-shape device batch structures.
+
+The reference batches ragged per-code subgraphs with PyG ``Batch``
+(dataset_creator.py:302-304) — dynamic node/edge counts per batch. On TPU
+everything is padded to bucketed static shapes so XLA compiles once per
+bucket; masks carry validity.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+
+
+class CodeBatch(NamedTuple):
+    """One batch of medical codes for the tokenizer (train or eval).
+
+    Shapes: B = batch, Lt = text bucket, Ln = nodes-per-graph bucket,
+    E = edge bucket (flat across the batch).
+    """
+
+    input_ids: jax.Array        # [B, Lt] int32 WordPiece ids, padded
+    attention_mask: jax.Array   # [B, Lt] int32/bool, 1 = real token
+    node_ids: jax.Array         # [B, Ln] int32 global PrimeKG node indices
+    node_mask: jax.Array        # [B, Ln] bool, True = real node
+    edge_src: jax.Array         # [E] int32 flat indices into [B*Ln]
+    edge_dst: jax.Array         # [E] int32
+    edge_weight: jax.Array      # [E] f32, 1.0 real / 0.0 padded
+    edge_src_aug: jax.Array     # [E] int32, edge-dropout-augmented copy
+    edge_dst_aug: jax.Array     # [E]
+    edge_weight_aug: jax.Array  # [E]
+    code_indices: jax.Array     # [B] int32 row index into the code vocab
+
+
+class TokenizedCodes(NamedTuple):
+    """Eval output per code (reference: tokenizer.py:240-247)."""
+
+    embedding: jax.Array  # [B, 256] cat(spec_text, spec_graph, shared_text, shared_graph)
+    tokens: jax.Array     # [B, 4, k] rows: text, graph, shared_text, shared_graph
+    weights: jax.Array    # [B, 4, k]

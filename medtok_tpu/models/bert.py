@@ -1,0 +1,145 @@
+"""Frozen BERT text encoder in flax.
+
+The reference uses HF ``bert-base-uncased`` with requires_grad=False
+(/root/reference/MedTok/tokenizer.py:75-81) and consumes
+``last_hidden_state`` (tokenizer.py:221). This is a from-scratch flax
+implementation of the BERT encoder (post-LayerNorm architecture) plus a
+converter from a HuggingFace PyTorch state_dict for weight parity.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from medtok_tpu.config import TextEncoderConfig
+
+
+class BertSelfAttention(nn.Module):
+    cfg: TextEncoderConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, *, deterministic=True):
+        c = self.cfg
+        H = c.num_heads
+        Dh = c.hidden_size // H
+        q = nn.Dense(c.hidden_size, dtype=self.dtype, name="query")(x)
+        k = nn.Dense(c.hidden_size, dtype=self.dtype, name="key")(x)
+        v = nn.Dense(c.hidden_size, dtype=self.dtype, name="value")(x)
+        B, L, _ = x.shape
+        q = q.reshape(B, L, H, Dh).transpose(0, 2, 1, 3)
+        k = k.reshape(B, L, H, Dh).transpose(0, 2, 1, 3)
+        v = v.reshape(B, L, H, Dh).transpose(0, 2, 1, 3)
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) / np.sqrt(Dh)
+        logits = jnp.where(mask[:, None, None, :], logits, -1e9)
+        attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        if not deterministic:
+            attn = nn.Dropout(c.attention_dropout)(attn, deterministic=False)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        return out.transpose(0, 2, 1, 3).reshape(B, L, c.hidden_size)
+
+
+class BertLayer(nn.Module):
+    cfg: TextEncoderConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, *, deterministic=True):
+        c = self.cfg
+        attn = BertSelfAttention(c, self.dtype, name="attention")(
+            x, mask, deterministic=deterministic
+        )
+        attn = nn.Dense(c.hidden_size, dtype=self.dtype, name="attention_output")(attn)
+        if not deterministic:
+            attn = nn.Dropout(c.hidden_dropout)(attn, deterministic=False)
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="attention_ln")(
+            x + attn
+        )
+        h = nn.Dense(c.intermediate_size, dtype=self.dtype, name="intermediate")(x)
+        h = nn.gelu(h, approximate=False)  # HF BERT uses exact gelu
+        h = nn.Dense(c.hidden_size, dtype=self.dtype, name="output")(h)
+        if not deterministic:
+            h = nn.Dropout(c.hidden_dropout)(h, deterministic=False)
+        return nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="output_ln")(
+            x + h
+        )
+
+
+class BertEncoder(nn.Module):
+    """Returns last_hidden_state [B, L, hidden]."""
+
+    cfg: TextEncoderConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask, *, deterministic=True):
+        c = self.cfg
+        mask = attention_mask.astype(bool)
+        L = input_ids.shape[1]
+        word = nn.Embed(c.vocab_size, c.hidden_size, dtype=self.dtype,
+                        name="word_embeddings")(input_ids)
+        pos_ids = jnp.arange(L)[None, :]
+        pos = nn.Embed(c.max_position_embeddings, c.hidden_size, dtype=self.dtype,
+                       name="position_embeddings")(pos_ids)
+        tok_type = nn.Embed(c.type_vocab_size, c.hidden_size, dtype=self.dtype,
+                            name="token_type_embeddings")(jnp.zeros_like(input_ids))
+        x = word + pos + tok_type
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
+                         name="embeddings_ln")(x)
+        if not deterministic:
+            x = nn.Dropout(c.hidden_dropout)(x, deterministic=False)
+        for i in range(c.num_layers):
+            x = BertLayer(c, self.dtype, name=f"layer_{i}")(
+                x, mask, deterministic=deterministic
+            )
+        return x
+
+
+# ---------------------------------------------------------------------------
+# HF PyTorch state_dict -> flax params conversion
+# ---------------------------------------------------------------------------
+
+def convert_hf_bert(state_dict: dict[str, Any], cfg: TextEncoderConfig) -> dict:
+    """Convert a HuggingFace ``BertModel`` PyTorch state_dict (tensors or
+    numpy arrays) into this module's param tree. Dense kernels are transposed
+    (torch stores [out, in]; flax [in, out])."""
+
+    def arr(key):
+        v = state_dict[key]
+        v = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+        return jnp.asarray(v, jnp.float32)
+
+    def dense(prefix):
+        return {"kernel": arr(f"{prefix}.weight").T, "bias": arr(f"{prefix}.bias")}
+
+    def ln(prefix):
+        return {"scale": arr(f"{prefix}.weight"), "bias": arr(f"{prefix}.bias")}
+
+    p: dict[str, Any] = {
+        "word_embeddings": {"embedding": arr("embeddings.word_embeddings.weight")},
+        "position_embeddings": {"embedding": arr("embeddings.position_embeddings.weight")},
+        "token_type_embeddings": {"embedding": arr("embeddings.token_type_embeddings.weight")},
+        "embeddings_ln": ln("embeddings.LayerNorm"),
+    }
+    for i in range(cfg.num_layers):
+        hf = f"encoder.layer.{i}"
+        p[f"layer_{i}"] = {
+            "attention": {
+                "query": dense(f"{hf}.attention.self.query"),
+                "key": dense(f"{hf}.attention.self.key"),
+                "value": dense(f"{hf}.attention.self.value"),
+            },
+            "attention_output": dense(f"{hf}.attention.output.dense"),
+            "attention_ln": ln(f"{hf}.attention.output.LayerNorm"),
+            "intermediate": dense(f"{hf}.intermediate.dense"),
+            "output": dense(f"{hf}.output.dense"),
+            "output_ln": ln(f"{hf}.output.LayerNorm"),
+        }
+    return p

@@ -1,0 +1,64 @@
+"""Graph encoder over PrimeKG subgraphs.
+
+Reference: GraphEncoder (/root/reference/MedTok/tokenizer.py:13-45) — a
+130000-row node-embedding table followed by two GCNConv layers with a ReLU
+between, returning the per-layer hidden states (the caller uses the last:
+tokenizer.py:215).
+
+Batched-graph layout here is dense-padded: node ids [B, Ln] with a node mask;
+edges are flat indices into the flattened [B*Ln] node array (padded edges
+carry weight 0 and point at slot 0).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from medtok_tpu.config import GraphEncoderConfig
+from medtok_tpu.models.layers import GATConv, GCNConv
+
+
+class GraphEncoder(nn.Module):
+    cfg: GraphEncoderConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        node_ids: jax.Array,     # [B, Ln] global PrimeKG node indices
+        edge_src: jax.Array,     # [E] flat indices into [B*Ln]
+        edge_dst: jax.Array,     # [E]
+        edge_weight: jax.Array,  # [E] 1.0 valid / 0.0 padded
+    ) -> list[jax.Array]:
+        c = self.cfg
+        B, Ln = node_ids.shape
+        x = nn.Embed(c.num_nodes, c.in_channels, dtype=self.dtype, name="emb")(
+            node_ids
+        ).reshape(B * Ln, c.in_channels)
+
+        hidden: list[jax.Array] = []
+        if c.model_name == "GCN":
+            x = GCNConv(c.hidden_channels, name="conv1")(x, edge_src, edge_dst, edge_weight)
+            hidden.append(x)
+            x = nn.relu(x)
+            x = GCNConv(c.out_channels, name="conv2")(x, edge_src, edge_dst, edge_weight)
+            hidden.append(x)
+        elif c.model_name == "GAT":
+            x = GATConv(c.hidden_channels, num_heads=c.gat_num_heads, name="conv1")(
+                x, edge_src, edge_dst, edge_weight
+            )
+            hidden.append(x)
+            x = nn.relu(x)
+            x = GATConv(c.out_channels, num_heads=1, name="conv2")(
+                x, edge_src, edge_dst, edge_weight
+            )
+            hidden.append(x)
+        else:
+            raise ValueError(
+                "Invalid graph model name. Please choose from 'GCN' or 'GAT'."
+            )
+        return [h.reshape(B, Ln, -1) for h in hidden]

@@ -1,0 +1,221 @@
+"""Shared flax layers: torch-parity multi-head attention, cross-attention
+stack, and GCN/GAT message passing over padded batched subgraphs.
+
+Reference semantics being reproduced:
+- CrossAttentionLayer / CrossAttention:
+  /root/reference/MedTok/vector_quantization_soft_one_new.py:17-88
+  (attn -> residual add -> LayerNorm; NO feed-forward; both directions share
+  the same layer stack; keys/values stay the *original* other-modality tensor
+  across layers).
+- GCNConv: torch_geometric GCNConv defaults (add_self_loops=True, symmetric
+  normalization, bias) as used by GraphEncoder
+  (/root/reference/MedTok/tokenizer.py:13-45).
+
+The reference loops over samples with variable-length text/graphs
+(vector_quantization_soft_one_new.py:133-145). Here attention is a single
+masked batched computation — numerically equivalent because padded keys are
+masked to -inf before the softmax and padded queries are discarded downstream.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+NEG_INF = -1e9
+
+
+class MultiheadAttention(nn.Module):
+    """torch.nn.MultiheadAttention-compatible MHA (batch-first here).
+
+    q: [B, Lq, E], k/v: [B, Lk, E], key_mask: [B, Lk] bool (True = valid).
+    """
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, q, k, v, key_mask=None, *, deterministic: bool = True):
+        E, H = self.embed_dim, self.num_heads
+        Dh = E // H
+        assert E % H == 0
+
+        def dense(name):
+            return nn.Dense(E, name=name, dtype=q.dtype)
+
+        qp = dense("q_proj")(q)
+        kp = dense("k_proj")(k)
+        vp = dense("v_proj")(v)
+
+        B, Lq, _ = qp.shape
+        Lk = kp.shape[1]
+        qh = qp.reshape(B, Lq, H, Dh).transpose(0, 2, 1, 3)
+        kh = kp.reshape(B, Lk, H, Dh).transpose(0, 2, 1, 3)
+        vh = vp.reshape(B, Lk, H, Dh).transpose(0, 2, 1, 3)
+
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
+        ) / jnp.sqrt(jnp.asarray(Dh, jnp.float32))
+        if key_mask is not None:
+            logits = jnp.where(key_mask[:, None, None, :], logits, NEG_INF)
+        attn = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+        if self.dropout > 0.0 and not deterministic:
+            attn = nn.Dropout(self.dropout)(attn, deterministic=False)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh)
+        out = out.transpose(0, 2, 1, 3).reshape(B, Lq, E)
+        return nn.Dense(E, name="out_proj", dtype=q.dtype)(out)
+
+
+class CrossAttentionLayer(nn.Module):
+    """attn -> dropout -> residual add -> LayerNorm (vq...py:32-51)."""
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, query, key, value, key_mask=None, *, deterministic=True):
+        attn_out = MultiheadAttention(
+            self.embed_dim, self.num_heads, self.dropout, name="multihead_attn"
+        )(query, key, value, key_mask, deterministic=deterministic)
+        if self.dropout > 0.0 and not deterministic:
+            attn_out = nn.Dropout(self.dropout)(attn_out, deterministic=False)
+        return nn.LayerNorm(epsilon=1e-5, dtype=query.dtype, name="layer_norm")(
+            query + attn_out
+        )
+
+
+class CrossAttention(nn.Module):
+    """Bidirectional cross-attention with a SHARED layer stack (vq...py:53-88).
+
+    vector1 attends to (fixed) vector2 through all layers, then vector2
+    attends to (fixed) vector1 through the *same* layers.
+    """
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.1
+    layers: int = 2
+
+    @nn.compact
+    def __call__(self, v1, v2, v1_mask=None, v2_mask=None, *, deterministic=True):
+        stack = [
+            CrossAttentionLayer(
+                self.embed_dim, self.num_heads, self.dropout, name=f"layer_{i}"
+            )
+            for i in range(self.layers)
+        ]
+        v1_ = v1
+        for layer in stack:
+            v1_ = layer(v1_, v2, v2, v2_mask, deterministic=deterministic)
+        v2_ = v2
+        for layer in stack:
+            v2_ = layer(v2_, v1, v1, v1_mask, deterministic=deterministic)
+        return v1_, v2_
+
+
+# ---------------------------------------------------------------------------
+# Graph convolutions over flat padded batched subgraphs
+# ---------------------------------------------------------------------------
+
+def gcn_propagate(
+    x: jax.Array,
+    edge_src: jax.Array,
+    edge_dst: jax.Array,
+    edge_weight: jax.Array,
+) -> jax.Array:
+    """Symmetric-normalized sum aggregation with implicit self-loops.
+
+    x: [N, D] transformed node features (x @ W), edges flat-indexed into N.
+    Padded edges carry weight 0 and point at slot 0 — they contribute nothing
+    to either degrees or messages. Every node slot gets a weight-1 self-loop
+    (PyG GCNConv add_self_loops=True).
+    """
+    n = x.shape[0]
+    w = edge_weight.astype(jnp.float32)
+    deg = jnp.ones((n,), jnp.float32).at[edge_dst].add(w)  # ones = self-loops
+    dinv = jax.lax.rsqrt(deg)
+    coef = (dinv[edge_src] * dinv[edge_dst] * w)[:, None].astype(x.dtype)
+    out = (dinv * dinv)[:, None].astype(x.dtype) * x  # self-loop messages
+    out = out.at[edge_dst].add(coef * x[edge_src])
+    return out
+
+
+class GCNConv(nn.Module):
+    """torch_geometric.nn.GCNConv parity: out = propagate(x @ W) + b."""
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x, edge_src, edge_dst, edge_weight):
+        xw = nn.Dense(self.out_channels, use_bias=False, dtype=x.dtype, name="lin")(x)
+        out = gcn_propagate(xw, edge_src, edge_dst, edge_weight)
+        bias = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+        return out + bias.astype(x.dtype)
+
+
+class GATConv(nn.Module):
+    """torch_geometric.nn.GATConv semantics (used when graph_model_name='GAT';
+    note the reference's GAT path is actually broken by a DGL import shadow at
+    tokenizer.py:3 — this is the working PyG-semantics version).
+
+    Single edge-type additive attention with per-head leaky-relu scores and
+    segment-softmax over incoming edges (self-loops added).
+    """
+
+    out_channels: int
+    num_heads: int = 4
+    concat_heads: bool = True
+    negative_slope: float = 0.2
+
+    @nn.compact
+    def __call__(self, x, edge_src, edge_dst, edge_weight):
+        n = x.shape[0]
+        H, C = self.num_heads, self.out_channels
+        xw = nn.Dense(H * C, use_bias=False, dtype=x.dtype, name="lin")(x)
+        xw = xw.reshape(n, H, C)
+        a_src = self.param("att_src", nn.initializers.glorot_uniform(), (H, C))
+        a_dst = self.param("att_dst", nn.initializers.glorot_uniform(), (H, C))
+        alpha_src = jnp.einsum("nhc,hc->nh", xw, a_src.astype(x.dtype))
+        alpha_dst = jnp.einsum("nhc,hc->nh", xw, a_dst.astype(x.dtype))
+
+        # self-loops: append one (i, i) edge per node with weight 1
+        loop = jnp.arange(n, dtype=edge_src.dtype)
+        src = jnp.concatenate([edge_src, loop])
+        dst = jnp.concatenate([edge_dst, loop])
+        w = jnp.concatenate([edge_weight.astype(jnp.float32), jnp.ones((n,), jnp.float32)])
+
+        e = jax.nn.leaky_relu(
+            alpha_src[src] + alpha_dst[dst], self.negative_slope
+        ).astype(jnp.float32)
+        e = jnp.where(w[:, None] > 0, e, NEG_INF)
+        # segment softmax over incoming edges of each dst node
+        e_max = jnp.full((n, H), NEG_INF, jnp.float32).at[dst].max(e)
+        e_exp = jnp.exp(e - e_max[dst]) * w[:, None]
+        denom = jnp.zeros((n, H), jnp.float32).at[dst].add(e_exp)
+        alpha = (e_exp / jnp.maximum(denom[dst], 1e-16)).astype(x.dtype)
+
+        out = jnp.zeros((n, H, C), x.dtype).at[dst].add(alpha[..., None] * xw[src])
+        if self.concat_heads:
+            out = out.reshape(n, H * C)
+        else:
+            out = out.mean(axis=1)
+        bias_dim = H * C if self.concat_heads else C
+        bias = self.param("bias", nn.initializers.zeros, (bias_dim,))
+        return out + bias.astype(x.dtype)
+
+
+def global_mean_pool(x: jax.Array, mask: jax.Array) -> jax.Array:
+    """Masked mean over the node axis: x [B, N, D], mask [B, N] -> [B, D].
+
+    Equals torch_geometric global_mean_pool on the batched ragged graphs
+    (tokenizer.py:216) since padded slots are excluded.
+    """
+    m = mask.astype(x.dtype)
+    s = jnp.sum(x * m[..., None], axis=1)
+    cnt = jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0)
+    return s / cnt

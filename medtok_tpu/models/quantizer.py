@@ -1,0 +1,192 @@
+"""SoftVQQuantizer — the quantization core as a flax module.
+
+Reference: VectorQuantizer in
+/root/reference/MedTok/vector_quantization_soft_one_new.py:90-271.
+
+Three quantization paths per sample share ONE codebook [n_e, e_dim]:
+  1. shared: bidirectional cross-attention between per-sample text tokens and
+     graph nodes, CLS / masked-mean pooling, soft top-k against the FULL
+     codebook (:127-185);
+  2. text-specific: proj_text(z_text) against rows [0, n_e//3) (:187-217);
+  3. graph-specific: proj_graph(z_graph) against rows [n_e - n_e//3, n_e).
+
+Unlike the reference (which serializes the batch in a Python loop at
+:133-145), the cross-attention here is one masked batched computation.
+
+This module also *returns* the token indices/weights for all four paths —
+the reference's eval branch (tokenizer.py:235-238) expects those keys but its
+quantizer never produced them (latent upstream bug, consciously fixed here).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from medtok_tpu.config import QuantizerConfig
+from medtok_tpu.models.layers import CrossAttention, global_mean_pool
+from medtok_tpu.ops import vq as vq_ops
+
+
+class SoftVQQuantizer(nn.Module):
+    cfg: QuantizerConfig
+    split: tuple[int, int] = (64, 64)
+
+    def setup(self):
+        c = self.cfg
+        # torch nn.Embedding init is N(0, 1) (vq...py:115)
+        self.codebook = self.param(
+            "codebook", nn.initializers.normal(stddev=1.0),
+            (c.codebook_size, c.codebook_embed_dim), jnp.float32,
+        )
+        self.cross_attn = CrossAttention(
+            embed_dim=c.codebook_embed_dim,
+            num_heads=c.num_heads,
+            dropout=c.cross_attn_dropout,
+            layers=c.cross_attn_layers,
+            name="cross_attn",
+        )
+        self.proj_text = nn.Dense(c.codebook_embed_dim, name="proj_text")
+        self.proj_graph = nn.Dense(c.codebook_embed_dim, name="proj_graph")
+        if c.show_usage:
+            self.codebook_used = self.variable(
+                "usage", "codebook_used",
+                lambda: jnp.zeros((c.usage_buffer_size,), jnp.int32),
+            )
+
+    # -- usage FIFO (vq...py:219-236); mutable only when 'usage' collection is.
+    def _track_usage(self, indices: jax.Array) -> jax.Array:
+        c = self.cfg
+        if not c.show_usage:
+            return jnp.asarray(0.0, jnp.float32)
+        buf, usage = vq_ops.usage_update(
+            self.codebook_used.value, indices, c.codebook_size
+        )
+        if not self.is_initializing() and self.is_mutable_collection("usage"):
+            self.codebook_used.value = buf
+        return usage
+
+    def get_shared_info(
+        self, z_text, z_graph, text_mask, node_mask, *, train: bool
+    ):
+        """Shared-path quantization (vq...py:127-185).
+
+        z_text: [B, Lt, D] mapped text token features; z_graph: [B, Ln, D]
+        graph node features; masks True=valid. Returns
+        (z_q_cat, loss_tuple, usage, tokens_dict).
+        """
+        c = self.cfg
+        t_attn, g_attn = self.cross_attn(
+            z_text, z_graph, v1_mask=text_mask, v2_mask=node_mask,
+            deterministic=not train,
+        )
+        z_flat_text = t_attn[:, 0, :]  # [CLS] (vq...py:139)
+        z_flat_graph = global_mean_pool(g_attn, node_mask)  # (vq...py:140)
+
+        q_text = vq_ops.soft_topk_quantize(
+            z_flat_text, self.codebook, k=c.top_k, beta=c.commit_loss_beta,
+            l2_norm=c.l2_norm, train=train,
+        )
+        q_graph = vq_ops.soft_topk_quantize(
+            z_flat_graph, self.codebook, k=c.top_k, beta=c.commit_loss_beta,
+            l2_norm=c.l2_norm, train=train,
+        )
+        usage = self._track_usage(
+            jnp.concatenate([q_text.indices, q_graph.indices], axis=-1)
+        )
+        z_text_n = vq_ops.l2_normalize(z_flat_text.astype(jnp.float32))
+        z_graph_n = vq_ops.l2_normalize(z_flat_graph.astype(jnp.float32))
+        loss_tuple = (
+            q_text.vq_loss + q_graph.vq_loss,
+            q_text.commit_loss + q_graph.commit_loss,
+            z_text_n, z_graph_n, q_text.z_q, q_graph.z_q,
+        )
+        tokens = {
+            "shared_text_tokens": q_text.indices,
+            "shared_text_tokens_weights": q_text.weights,
+            "shared_graph_tokens": q_graph.indices,
+            "shared_graph_tokens_weights": q_graph.weights,
+        }
+        z_q_cat = jnp.concatenate([q_text.z_q, q_graph.z_q], axis=-1)
+        return z_q_cat, loss_tuple, usage, tokens
+
+    def specific_embedding(self, z, types: str, *, train: bool, track: bool = True):
+        """Modality-specific quantization against a codebook region
+        (vq...py:187-217). Returned indices are region-local, matching the
+        reference's indexing of the sliced codebook."""
+        c = self.cfg
+        proj = self.proj_text if types == "text" else self.proj_graph
+        z_p = proj(z)
+        region = vq_ops.region_slice(self.codebook, types)
+        q = vq_ops.soft_topk_quantize(
+            z_p, region, k=c.top_k, beta=c.commit_loss_beta,
+            l2_norm=c.l2_norm, train=train,
+        )
+        usage = self._track_usage(q.indices) if track else jnp.asarray(0.0)
+        z_p_n = vq_ops.l2_normalize(z_p.astype(jnp.float32))
+        return q.z_q, (q.vq_loss, q.commit_loss, z_p_n, q.z_q), usage, q.indices, q.weights
+
+    def __call__(
+        self,
+        z: jax.Array,             # [B, split0+split1] = cat(text_cls, graph_pool)
+        text_features: jax.Array,  # [B, Lt, D] mapped text token features
+        graph_node_features: jax.Array,  # [B, Ln, D]
+        text_mask: jax.Array,      # [B, Lt] bool
+        node_mask: jax.Array,      # [B, Ln] bool
+        z_aug: jax.Array | None = None,
+        *,
+        train: bool = True,
+    ) -> dict[str, Any]:
+        s0, s1 = self.split
+        shared_emb, shared_loss, shared_usage, shared_tokens = self.get_shared_info(
+            text_features, graph_node_features, text_mask, node_mask, train=train
+        )
+        shared_text_embedding = shared_emb[:, :s0]
+        shared_graph_embedding = shared_emb[:, s0:]
+        z_text_embedding = z[:, :s0]
+        z_graph_embedding = z[:, s0:]
+
+        spec_text, text_loss, text_usage, text_idx, text_w = self.specific_embedding(
+            z_text_embedding, "text", train=train
+        )
+        spec_graph, graph_loss, graph_usage, graph_idx, graph_w = self.specific_embedding(
+            z_graph_embedding, "graph", train=train
+        )
+
+        if z_aug is not None:
+            # the reference also FIFO-tracks the aug paths (vq...py:249-250)
+            spec_text_aug, _, _, _, _ = self.specific_embedding(
+                z_aug[:, :s0], "text", train=train
+            )
+            spec_graph_aug, _, _, _, _ = self.specific_embedding(
+                z_aug[:, s0:], "graph", train=train
+            )
+        else:
+            spec_text_aug = None
+            spec_graph_aug = None
+
+        return {
+            "graph_feature": z_graph_embedding,
+            "text_feature": z_text_embedding,
+            "shared_text_embedding": shared_text_embedding,
+            "shared_graph_embedding": shared_graph_embedding,
+            "shared_embed_loss": shared_loss,
+            "shared_codebook_usage": shared_usage,
+            "specific_embedding_text": spec_text,
+            "text_specific_loss": text_loss,
+            "text_specific_usage": text_usage,
+            "specific_embedding_graph": spec_graph,
+            "graph_specific_loss": graph_loss,
+            "graph_specific_usage": graph_usage,
+            "specific_embedding_text_aug": spec_text_aug,
+            "specific_embedding_graph_aug": spec_graph_aug,
+            # token ids/weights for the eval export path (tokenizer.py:235-244)
+            "text_tokens": text_idx,
+            "text_tokens_weights": text_w,
+            "graph_tokens": graph_idx,
+            "graph_tokens_weights": graph_w,
+            **shared_tokens,
+        }

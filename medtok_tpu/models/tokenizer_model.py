@@ -1,0 +1,140 @@
+"""MultimodalTokenizer — the flagship model.
+
+Reference: /root/reference/MedTok/tokenizer.py:66-277. Orchestration:
+  frozen BERT -> CLS -> text_mapped(768 -> graph_out)        (:118, 221)
+  GraphEncoder -> last hidden -> global_mean_pool            (:215-216)
+  h = cat(text_cls, graph_pool) [B, 128]                     (:165)
+  SoftVQQuantizer(h, text tokens, graph nodes, masks, h_aug) (:199)
+Train returns the quantizer's loss dict; eval returns
+(embedding [B,256], tokens [B,4,k], weights [B,4,k]) with the exact concat
+order of tokenizer.py:240-247.
+
+TPU-first deviations (documented):
+- The frozen BERT runs deterministically by default; the reference runs it in
+  train mode under no_grad, so its "text augmentation" is dropout noise
+  (tokenizer.py:148-152, 211-212). Set text_dropout_in_train=True in
+  ModelConfig for that behavior (costs a second BERT forward).
+- The dead VAR residual-quantization branch (tokenizer.py:169-197, gated off
+  by enable_var=False at :132) is not reproduced.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from medtok_tpu.config import ModelConfig
+from medtok_tpu.data.types import CodeBatch, TokenizedCodes
+from medtok_tpu.models.bert import BertEncoder
+from medtok_tpu.models.graph_encoder import GraphEncoder
+from medtok_tpu.models.layers import global_mean_pool
+from medtok_tpu.models.quantizer import SoftVQQuantizer
+
+
+class MultimodalTokenizer(nn.Module):
+    cfg: ModelConfig
+
+    def setup(self):
+        c = self.cfg
+        dtype = jnp.dtype(c.compute_dtype)
+        self.text_model = BertEncoder(c.text, dtype=dtype, name="text_model")
+        self.graph_encoder = GraphEncoder(c.graph, dtype=dtype, name="graph_encoder")
+        # 768 -> graph_out_channels (tokenizer.py:118; applied at :221)
+        self.text_mapped = nn.Dense(c.graph.out_channels, dtype=dtype, name="text_mapped")
+        self.quantize = SoftVQQuantizer(c.quantizer, split=c.split, name="quantize")
+
+    def _encode_text(self, input_ids, attention_mask, *, dropout: bool):
+        out = self.text_model(
+            input_ids, attention_mask, deterministic=not dropout
+        )
+        # frozen encoder (tokenizer.py:80-81): block gradients
+        return jax.lax.stop_gradient(out)
+
+    def _encode(self, batch: CodeBatch, *, train: bool):
+        c = self.cfg
+        text_hidden = self._encode_text(
+            batch.input_ids, batch.attention_mask,
+            dropout=train and c.text_dropout_in_train,
+        )  # [B, Lt, 768]
+        text_features = self.text_mapped(text_hidden)  # [B, Lt, D]
+
+        graph_node_features = self.graph_encoder(
+            batch.node_ids, batch.edge_src, batch.edge_dst, batch.edge_weight
+        )[-1]  # [B, Ln, D]
+        graph_features = global_mean_pool(graph_node_features, batch.node_mask)
+
+        text_cls = text_features[:, 0, :]
+        h = jnp.concatenate([text_cls, graph_features], axis=-1)  # [B, 2D]
+        return text_features, graph_node_features, h
+
+    def __call__(self, batch: CodeBatch, *, train: bool = True):
+        c = self.cfg
+        text_features, graph_node_features, h = self._encode(batch, train=train)
+        text_mask = batch.attention_mask.astype(bool)
+
+        if train:
+            # augmented view: edge-dropped graph (+ optional BERT dropout noise)
+            if c.text_dropout_in_train:
+                text_hidden_aug = self._encode_text(
+                    batch.input_ids, batch.attention_mask, dropout=True
+                )
+                text_cls_aug = self.text_mapped(text_hidden_aug)[:, 0, :]
+            else:
+                text_cls_aug = h[:, : c.split[0]]
+            graph_node_aug = self.graph_encoder(
+                batch.node_ids, batch.edge_src_aug, batch.edge_dst_aug,
+                batch.edge_weight_aug,
+            )[-1]
+            graph_features_aug = global_mean_pool(graph_node_aug, batch.node_mask)
+            h_aug = jnp.concatenate([text_cls_aug, graph_features_aug], axis=-1)
+        else:
+            h_aug = None
+
+        result = self.quantize(
+            h, text_features, graph_node_features, text_mask, batch.node_mask,
+            z_aug=h_aug, train=train,
+        )
+        if train:
+            return result
+        return self._eval_outputs(result)
+
+    @staticmethod
+    def _eval_outputs(result: dict[str, Any]) -> TokenizedCodes:
+        """Assemble the export artifact (tokenizer.py:235-247)."""
+        tokens = jnp.stack(
+            [
+                result["text_tokens"],
+                result["graph_tokens"],
+                result["shared_text_tokens"],
+                result["shared_graph_tokens"],
+            ],
+            axis=1,
+        )  # [B, 4, k]
+        weights = jnp.stack(
+            [
+                result["text_tokens_weights"],
+                result["graph_tokens_weights"],
+                result["shared_text_tokens_weights"],
+                result["shared_graph_tokens_weights"],
+            ],
+            axis=1,
+        )
+        embedding = jnp.concatenate(
+            [
+                result["specific_embedding_text"],
+                result["specific_embedding_graph"],
+                result["shared_text_embedding"],
+                result["shared_graph_embedding"],
+            ],
+            axis=-1,
+        ).astype(jnp.float32)
+        return TokenizedCodes(embedding, tokens, weights)
+
+    def tokenize(self, batch: CodeBatch) -> TokenizedCodes:
+        """No-grad eval tokenization (tokenizer.py:249-277, with the eval
+        outputs of forward — the reference's tokenize() drops tokens/weights
+        and has a missing .last_hidden_state bug at :262; fixed here)."""
+        return self(batch, train=False)

@@ -1,0 +1,149 @@
+"""Soft top-k vector-quantization primitives (pure JAX, fp32 distance math).
+
+Semantics mirror the reference VectorQuantizer
+(/root/reference/MedTok/vector_quantization_soft_one_new.py:120-217):
+
+- squared-L2 distance ``d = |x|^2 + |e|^2 - 2 x e^T`` (get_distance, :120-125)
+- top-k=5 *smallest* distances with lowest-index tie-break (torch.topk
+  largest=False semantics, :157-159)
+- assignment weights ``softmax(-d_topk)`` (:158-160)
+- quantized vector = weight-averaged *normalized* codewords (:164-165)
+- VQ + beta*commit losses with stop-gradient on each side (:169-178, 207-212)
+- straight-through estimator ``z + sg(z_q - z)`` (:181-182, 214)
+- region-restricted quantization: text uses codebook rows [0, n/3), graph uses
+  rows [n - n/3, n) (:194-200). Returned indices are region-local, matching
+  the reference (which indexes the *sliced* codebook).
+
+All distance/softmax math runs in float32 regardless of the compute dtype —
+top-k ordering must be deterministic for token-ID parity.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+def l2_normalize(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
+    """Matches torch.nn.functional.normalize(p=2): x / max(|x|, eps)."""
+    norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    return x / jnp.maximum(norm, eps)
+
+
+def squared_distance(x: jax.Array, e: jax.Array) -> jax.Array:
+    """Pairwise squared-L2 distance, fp32 accumulation.
+
+    x: [B, D], e: [N, D] -> [B, N].
+    Mirrors get_distance (vector_quantization_soft_one_new.py:120-125).
+    """
+    x = x.astype(jnp.float32)
+    e = e.astype(jnp.float32)
+    x_sq = jnp.sum(x * x, axis=1, keepdims=True)  # [B, 1]
+    e_sq = jnp.sum(e * e, axis=1)  # [N]
+    cross = jax.lax.dot_general(
+        x, e, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [B, N]
+    return x_sq + e_sq[None, :] - 2.0 * cross
+
+
+def topk_smallest(d: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+    """Indices/values of the k smallest entries per row, lowest-index-first on
+    ties (torch.topk(largest=False) ordering). Returns (values, indices)."""
+    neg_vals, idx = jax.lax.top_k(-d, k)
+    return -neg_vals, idx
+
+
+class QuantizeOut(NamedTuple):
+    z_q: jax.Array        # [B, D] straight-through quantized output
+    z_q_raw: jax.Array    # [B, D] quantized output without STE (for losses)
+    indices: jax.Array    # [B, k] codeword indices (region-local if restricted)
+    weights: jax.Array    # [B, k] softmax(-d) assignment weights
+    vq_loss: jax.Array    # scalar, mean((sg(z) - z_q)^2)
+    commit_loss: jax.Array  # scalar, beta * mean((z - sg(z_q))^2)
+
+
+def soft_topk_quantize(
+    z: jax.Array,
+    codebook: jax.Array,
+    *,
+    k: int = 5,
+    beta: float = 0.25,
+    l2_norm: bool = True,
+    train: bool = True,
+) -> QuantizeOut:
+    """Soft top-k quantization of ``z`` against ``codebook`` rows.
+
+    The distance is computed between *normalized* z and *normalized* codewords
+    when ``l2_norm``; the quantized output is the weighted sum of normalized
+    codewords; but the VQ/commit losses and the STE compare against the
+    **unnormalized** z — exactly the reference's arrangement
+    (vector_quantization_soft_one_new.py:147-182, 194-214).
+    """
+    z32 = z.astype(jnp.float32)
+    if l2_norm:
+        e_n = l2_normalize(codebook.astype(jnp.float32))
+        z_n = l2_normalize(z32)
+    else:
+        e_n = codebook.astype(jnp.float32)
+        z_n = z32
+
+    d = squared_distance(z_n, e_n)  # [B, N]
+    values, indices = topk_smallest(d, k)  # [B, k]
+    weights = jax.nn.softmax(-values, axis=-1)  # [B, k]
+
+    gathered = e_n[indices]  # [B, k, D]
+    z_q_raw = jnp.sum(weights[..., None] * gathered, axis=1)  # [B, D]
+
+    if train:
+        vq_loss = jnp.mean((jax.lax.stop_gradient(z32) - z_q_raw) ** 2)
+        commit_loss = beta * jnp.mean((z32 - jax.lax.stop_gradient(z_q_raw)) ** 2)
+    else:
+        vq_loss = jnp.asarray(0.0, jnp.float32)
+        commit_loss = jnp.asarray(0.0, jnp.float32)
+
+    # straight-through: forward value is z_q_raw, gradient flows to z
+    z_q = z32 + jax.lax.stop_gradient(z_q_raw - z32)
+    return QuantizeOut(z_q.astype(z.dtype), z_q_raw, indices, weights, vq_loss, commit_loss)
+
+
+def region_slice(codebook: jax.Array, region: str) -> jax.Array:
+    """Codebook region for modality-specific quantization.
+
+    text -> rows [0, n//3); graph -> rows [n - n//3, n)
+    (vector_quantization_soft_one_new.py:194-200).
+    """
+    n = codebook.shape[0]
+    third = n // 3
+    if region == "text":
+        return codebook[:third]
+    if region == "graph":
+        return codebook[n - third:]
+    if region in ("full", "shared"):
+        return codebook
+    raise ValueError(f"unknown region {region!r}")
+
+
+# ---------------------------------------------------------------------------
+# Codebook usage telemetry (vector_quantization_soft_one_new.py:118, 219-236)
+# ---------------------------------------------------------------------------
+
+def usage_update(
+    buffer: jax.Array, new_indices: jax.Array, n_e: int
+) -> tuple[jax.Array, jax.Array]:
+    """FIFO-shift ``buffer`` by len(new_indices) and append them; return
+    (new_buffer, fraction of codebook present in the buffer).
+
+    The reference computes ``len(torch.unique(buf)) / n_e`` over a 300000-slot
+    int buffer initialized to zeros. ``unique`` is dynamic-shape, so on TPU we
+    count distinct values via a presence scatter — numerically identical.
+    """
+    flat = new_indices.reshape(-1).astype(buffer.dtype)
+    cur = flat.shape[0]
+    shifted = jnp.roll(buffer, -cur)
+    new_buffer = shifted.at[-cur:].set(flat)
+    presence = jnp.zeros((n_e,), jnp.int32).at[new_buffer].set(1, mode="drop")
+    usage = jnp.sum(presence).astype(jnp.float32) / float(n_e)
+    return new_buffer, usage

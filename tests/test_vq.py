@@ -1,0 +1,127 @@
+"""Unit tests for the VQ core (SURVEY.md section 4a: golden outputs computed
+with the PyTorch formulas, plus hand-computed tiny cases)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from medtok_tpu.ops import vq
+
+
+def torch_soft_topk(z, codebook, k=5, l2_norm=True):
+    """The reference formulas (vector_quantization_soft_one_new.py:147-165),
+    re-implemented in torch as a golden."""
+    z = torch.as_tensor(np.asarray(z), dtype=torch.float64)
+    e = torch.as_tensor(np.asarray(codebook), dtype=torch.float64)
+    if l2_norm:
+        z_n = F.normalize(z, p=2, dim=-1)
+        e_n = F.normalize(e, p=2, dim=-1)
+    else:
+        z_n, e_n = z, e
+    d = (
+        torch.sum(z_n**2, dim=1, keepdim=True)
+        + torch.sum(e_n**2, dim=1)
+        - 2 * torch.einsum("bd,dn->bn", z_n, e_n.T)
+    )
+    values, idx = torch.topk(d, k=k, largest=False)
+    w = torch.softmax(-values, dim=1)
+    z_q = (w.unsqueeze(-1) * e_n[idx]).sum(dim=1)
+    return d.numpy(), values.numpy(), idx.numpy(), w.numpy(), z_q.numpy()
+
+
+def test_squared_distance_matches_torch():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(16, 64)).astype(np.float32)
+    e = rng.normal(size=(210, 64)).astype(np.float32)
+    d_jax = np.asarray(vq.squared_distance(jnp.asarray(x), jnp.asarray(e)))
+    d_ref, *_ = torch_soft_topk(x, e, l2_norm=False)
+    # fp64 golden distance is on raw inputs when l2_norm=False
+    np.testing.assert_allclose(d_jax, d_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_soft_topk_quantize_matches_torch_golden():
+    rng = np.random.default_rng(1)
+    z = rng.normal(size=(32, 64)).astype(np.float32)
+    e = rng.normal(size=(512, 64)).astype(np.float32)
+    out = vq.soft_topk_quantize(jnp.asarray(z), jnp.asarray(e), k=5, train=False)
+    _, vals, idx, w, z_q = torch_soft_topk(z, e, k=5)
+    np.testing.assert_array_equal(np.asarray(out.indices), idx)
+    np.testing.assert_allclose(np.asarray(out.weights), w, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.z_q_raw), z_q, rtol=1e-4, atol=1e-5)
+    # eval: losses are zero (vq...py:174-178)
+    assert float(out.vq_loss) == 0.0 and float(out.commit_loss) == 0.0
+
+
+def test_topk_tie_break_lowest_index_first():
+    # duplicate codewords -> tied distances; torch.topk picks lower index first
+    e = np.array([[1.0, 0.0], [0.0, 1.0], [1.0, 0.0], [0.5, 0.5]], np.float32)
+    d = vq.squared_distance(
+        vq.l2_normalize(jnp.asarray([[1.0, 0.0]])), vq.l2_normalize(jnp.asarray(e))
+    )
+    _, idx = vq.topk_smallest(d, 3)
+    assert idx[0, 0] == 0 and idx[0, 1] == 2  # ties: index 0 before 2
+
+
+def test_hand_computed_tiny_case():
+    # codebook rows along axes; z = e_0 exactly -> d = [0, 2] after l2norm
+    e = jnp.asarray([[1.0, 0.0], [0.0, 1.0]])
+    z = jnp.asarray([[2.0, 0.0]])  # normalizes to [1, 0]
+    out = vq.soft_topk_quantize(z, e, k=2, train=False)
+    d0, d1 = 0.0, 2.0
+    w = np.exp([-d0, -d1]) / np.exp([-d0, -d1]).sum()
+    np.testing.assert_allclose(np.asarray(out.weights[0]), w, rtol=1e-5)
+    expected = w[0] * np.array([1, 0]) + w[1] * np.array([0, 1])
+    np.testing.assert_allclose(np.asarray(out.z_q_raw[0]), expected, rtol=1e-5)
+
+
+def test_losses_match_torch_formulas():
+    rng = np.random.default_rng(2)
+    z = rng.normal(size=(8, 16)).astype(np.float32)
+    e = rng.normal(size=(64, 16)).astype(np.float32)
+    beta = 0.25
+    out = vq.soft_topk_quantize(jnp.asarray(z), jnp.asarray(e), k=5, beta=beta, train=True)
+    *_, z_q = torch_soft_topk(z, e, k=5)
+    vq_ref = np.mean((z - z_q) ** 2)
+    np.testing.assert_allclose(float(out.vq_loss), vq_ref, rtol=1e-4)
+    np.testing.assert_allclose(float(out.commit_loss), beta * vq_ref, rtol=1e-4)
+
+
+def test_straight_through_gradient():
+    rng = np.random.default_rng(3)
+    z = jnp.asarray(rng.normal(size=(4, 8)).astype(np.float32))
+    e = jnp.asarray(rng.normal(size=(32, 8)).astype(np.float32))
+
+    def f(z):
+        return jnp.sum(vq.soft_topk_quantize(z, e, train=False).z_q)
+
+    g = jax.grad(f)(z)
+    np.testing.assert_allclose(np.asarray(g), np.ones_like(z), rtol=1e-6)
+
+
+def test_region_slice():
+    e = jnp.arange(21 * 2, dtype=jnp.float32).reshape(21, 2)
+    t = vq.region_slice(e, "text")
+    g = vq.region_slice(e, "graph")
+    assert t.shape[0] == 7 and g.shape[0] == 7
+    np.testing.assert_array_equal(np.asarray(t), np.asarray(e[:7]))
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(e[14:]))
+
+
+def test_usage_fifo_matches_torch_unique_semantics():
+    n_e = 50
+    buf = jnp.zeros((12,), jnp.int32)
+    new = jnp.asarray([[3, 7], [7, 9]], jnp.int32)
+    buf2, usage = vq.usage_update(buf, new, n_e)
+    ref = torch.zeros(12, dtype=torch.long)
+    flat = torch.tensor([3, 7, 7, 9])
+    ref[:-4] = ref[4:].clone()
+    ref[-4:] = flat
+    np.testing.assert_array_equal(np.asarray(buf2), ref.numpy())
+    assert usage == pytest.approx(len(torch.unique(ref)) / n_e)
+    # second update shifts the FIFO
+    buf3, _ = vq.usage_update(buf2, jnp.asarray([[1, 2, 3, 4]], jnp.int32), n_e)
+    assert np.asarray(buf3)[-4:].tolist() == [1, 2, 3, 4]
+    assert np.asarray(buf3)[-8:-4].tolist() == [3, 7, 7, 9]
