@@ -41,7 +41,8 @@ def random_code_batch(
         node_ids[i, :n] = rng.choice(num_kg_nodes, size=n, replace=False)
         node_mask[i, :n] = True
 
-    # per-graph chunked layout: graph i's edges live in [i*Epg, i*Epg+ne)
+    # per-graph chunked layout with WITHIN-GRAPH local node indices
+    # (see CodeBatch docstring): graph i's edges live in [i*Epg, i*Epg+ne)
     edge_src = np.zeros((E,), np.int32)
     edge_dst = np.zeros((E,), np.int32)
     edge_weight = np.zeros((E,), np.float32)
@@ -49,10 +50,8 @@ def random_code_batch(
     for i, n in enumerate(node_counts):
         ne = int(rng.integers(0, Epg + 1)) if n > 1 else 0
         if ne:
-            s = rng.integers(0, n, size=ne).astype(np.int32) + i * Ln
-            d = rng.integers(0, n, size=ne).astype(np.int32) + i * Ln
-            edge_src[i * Epg:i * Epg + ne] = s
-            edge_dst[i * Epg:i * Epg + ne] = d
+            edge_src[i * Epg:i * Epg + ne] = rng.integers(0, n, size=ne)
+            edge_dst[i * Epg:i * Epg + ne] = rng.integers(0, n, size=ne)
             edge_weight[i * Epg:i * Epg + ne] = 1.0
     # augmented copy: independent edge dropout (dataset_creator.py:155-170)
     keep = (rng.random(E) > edge_dropout_p) & (edge_weight > 0)

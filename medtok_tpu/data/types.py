@@ -18,13 +18,19 @@ class CodeBatch(NamedTuple):
 
     Shapes: B = batch, Lt = text bucket, Ln = nodes-per-graph bucket,
     E = edge bucket (flat across the batch).
+
+    Edge arrays are chunked per graph: graph i's edges occupy slots
+    [i*Epg, (i+1)*Epg) where Epg = E // B, and hold WITHIN-GRAPH local node
+    indices in [0, Ln). The model derives flat indices from the (static)
+    slot position — this keeps edge values shard-local under dp sharding of
+    the batch axis.
     """
 
     input_ids: jax.Array        # [B, Lt] int32 WordPiece ids, padded
     attention_mask: jax.Array   # [B, Lt] int32/bool, 1 = real token
     node_ids: jax.Array         # [B, Ln] int32 global PrimeKG node indices
     node_mask: jax.Array        # [B, Ln] bool, True = real node
-    edge_src: jax.Array         # [E] int32 flat indices into [B*Ln]
+    edge_src: jax.Array         # [E] int32 within-graph node indices
     edge_dst: jax.Array         # [E] int32
     edge_weight: jax.Array      # [E] f32, 1.0 real / 0.0 padded
     edge_src_aug: jax.Array     # [E] int32, edge-dropout-augmented copy

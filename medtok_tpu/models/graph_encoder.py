@@ -30,7 +30,7 @@ class GraphEncoder(nn.Module):
     def __call__(
         self,
         node_ids: jax.Array,     # [B, Ln] global PrimeKG node indices
-        edge_src: jax.Array,     # [E] flat indices into [B*Ln]
+        edge_src: jax.Array,     # [E] within-graph node indices (see CodeBatch)
         edge_dst: jax.Array,     # [E]
         edge_weight: jax.Array,  # [E] 1.0 valid / 0.0 padded
     ) -> list[jax.Array]:
@@ -39,6 +39,14 @@ class GraphEncoder(nn.Module):
         x = nn.Embed(c.num_nodes, c.in_channels, dtype=self.dtype, name="emb")(
             node_ids
         ).reshape(B * Ln, c.in_channels)
+
+        # local -> flat node indices from the static per-graph edge chunking
+        E = edge_src.shape[0]
+        assert E % B == 0, "edge array must be per-graph chunked"
+        graph_of_edge = jnp.arange(E, dtype=edge_src.dtype) // (E // B)
+        offset = graph_of_edge * Ln
+        edge_src = edge_src + offset
+        edge_dst = edge_dst + offset
 
         hidden: list[jax.Array] = []
         if c.model_name == "GCN":

@@ -34,6 +34,12 @@ from medtok_tpu.ops import vq as vq_ops
 class SoftVQQuantizer(nn.Module):
     cfg: QuantizerConfig
     split: tuple[int, int] = (64, 64)
+    # Data-parallel axis name when running inside shard_map: used indices are
+    # all-gathered across the axis before the FIFO update, so the replicated
+    # usage buffer sees the GLOBAL batch. (The reference instead relies on
+    # DDP's rank-0 buffer broadcast — per-rank telemetry; this is the
+    # mesh-native, more accurate equivalent of norm_ema-style stat reduction.)
+    dp_axis: str | None = None
 
     def setup(self):
         c = self.cfg
@@ -62,6 +68,8 @@ class SoftVQQuantizer(nn.Module):
         c = self.cfg
         if not c.show_usage:
             return jnp.asarray(0.0, jnp.float32)
+        if self.dp_axis is not None and not self.is_initializing():
+            indices = jax.lax.all_gather(indices, self.dp_axis, tiled=True)
         buf, usage = vq_ops.usage_update(
             self.codebook_used.value, indices, c.codebook_size
         )

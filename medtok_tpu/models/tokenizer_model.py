@@ -36,6 +36,7 @@ from medtok_tpu.models.quantizer import SoftVQQuantizer
 
 class MultimodalTokenizer(nn.Module):
     cfg: ModelConfig
+    dp_axis: str | None = None  # set when the step runs inside shard_map
 
     def setup(self):
         c = self.cfg
@@ -44,7 +45,9 @@ class MultimodalTokenizer(nn.Module):
         self.graph_encoder = GraphEncoder(c.graph, dtype=dtype, name="graph_encoder")
         # 768 -> graph_out_channels (tokenizer.py:118; applied at :221)
         self.text_mapped = nn.Dense(c.graph.out_channels, dtype=dtype, name="text_mapped")
-        self.quantize = SoftVQQuantizer(c.quantizer, split=c.split, name="quantize")
+        self.quantize = SoftVQQuantizer(
+            c.quantizer, split=c.split, dp_axis=self.dp_axis, name="quantize"
+        )
 
     def _encode_text(self, input_ids, attention_mask, *, dropout: bool):
         out = self.text_model(

@@ -1,0 +1,49 @@
+"""Device-mesh construction and sharding helpers.
+
+The reference's distribution layer is NCCL DDP (utils/distributed.py:20-58):
+one process per GPU, gradient all-reduce. The TPU-native equivalent is a
+`jax.sharding.Mesh` with a data axis ('dp') and a model axis ('tp', used to
+shard the codebook rows for the VQ distance sweep), with XLA collectives over
+ICI replacing NCCL (SURVEY.md section 2.6-2.7). Multi-host bootstrap would use
+jax.distributed.initialize; at single-host scale the mesh covers all local
+devices.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DP_AXIS = "dp"
+TP_AXIS = "tp"
+
+
+def make_mesh(dp: int = -1, tp: int = 1, devices=None) -> Mesh:
+    """Build a (dp, tp) mesh. dp=-1 means 'all remaining devices'."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if dp == -1:
+        assert n % tp == 0, f"{n} devices not divisible by tp={tp}"
+        dp = n // tp
+    assert dp * tp == n, f"dp({dp}) * tp({tp}) != devices({n})"
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, (DP_AXIS, TP_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading batch dim over dp, replicate over tp."""
+    return NamedSharding(mesh, P(DP_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device-put a host batch with the batch axis sharded over dp.
+
+    Flat edge arrays ([B*Epg]) shard evenly too since B is a multiple of dp.
+    """
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

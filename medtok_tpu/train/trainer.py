@@ -1,0 +1,212 @@
+"""Data-parallel training over a jax.sharding.Mesh.
+
+Replaces the reference's DDP loop (train_MedTok.py:32-341): one jitted
+shard_map step over the 'dp' mesh axis — per-device local losses (in-batch
+InfoNCE negatives stay device-local, exactly matching DDP semantics where each
+rank computes its own loss and gradients are all-reduce-averaged), grads
+psum-averaged over ICI, optax Adam + global-norm clipping, optional parameter
+EMA (utils/ema.py:4-22), codebook-usage FIFO threaded as explicit state.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from medtok_tpu.config import MedTokConfig
+from medtok_tpu.data.types import CodeBatch
+from medtok_tpu.models.tokenizer_model import MultimodalTokenizer
+from medtok_tpu.parallel.mesh import DP_AXIS, make_mesh
+from medtok_tpu.train.losses import assemble_losses
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    usage: Any                      # {'codebook_used': int32[buffer]}
+    ema_params: Any = None          # optional EMA of params
+    rng: jax.Array = None
+
+
+def make_optimizer(cfg: MedTokConfig) -> optax.GradientTransformation:
+    """Adam(lr, b1, b2) with global-norm clipping (train_MedTok.py:106, 242-244)."""
+    t = cfg.train
+    txs = []
+    if t.max_grad_norm and t.max_grad_norm > 0:
+        txs.append(optax.clip_by_global_norm(t.max_grad_norm))
+    txs.append(optax.adam(t.lr, b1=t.beta1, b2=t.beta2))
+    return optax.chain(*txs)
+
+
+def create_train_state(
+    cfg: MedTokConfig, model: MultimodalTokenizer, example_batch: CodeBatch,
+    seed: int | None = None,
+) -> TrainState:
+    seed = cfg.train.global_seed if seed is None else seed
+    rng = jax.random.PRNGKey(seed)
+    p_rng, d_rng, state_rng = jax.random.split(rng, 3)
+    variables = model.init(
+        {"params": p_rng, "dropout": d_rng}, example_batch, train=True
+    )
+    params = variables["params"]
+    usage = variables.get("usage", FrozenDict({}))
+    tx = make_optimizer(cfg)
+    # EMA starts as a COPY of params (update_ema(decay=0), train_MedTok.py:179)
+    # — distinct buffers, or donation would see the same buffer twice.
+    ema_params = jax.tree.map(jnp.copy, params) if cfg.train.ema else None
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        usage=usage,
+        ema_params=ema_params,
+        rng=state_rng,
+    )
+
+
+def _loss_fn(params, usage, model, batch, dropout_rng, cfg: MedTokConfig):
+    out, mutated = model.apply(
+        {"params": params, "usage": usage},
+        batch, train=True,
+        rngs={"dropout": dropout_rng},
+        mutable=["usage"],
+    )
+    breakdown = assemble_losses(
+        out,
+        shared_loss_beta=cfg.train.shared_loss_beta,
+        specific_loss_lamb=cfg.train.specific_loss_lamb,
+    )
+    return breakdown.total, (breakdown.metrics, mutated.get("usage", usage))
+
+
+def make_train_step(
+    cfg: MedTokConfig, model: MultimodalTokenizer, mesh: Mesh,
+    *, donate: bool = True,
+) -> Callable[[TrainState, CodeBatch], tuple[TrainState, dict]]:
+    """Build the jitted DP train step.
+
+    Inside shard_map each device sees its local batch shard; gradients are
+    psum-averaged over 'dp' (the XLA/ICI equivalent of DDP's NCCL gradient
+    all-reduce, SURVEY.md section 2.6) and the optimizer update runs
+    replicated — bitwise identical across devices.
+    """
+    tx = make_optimizer(cfg)
+
+    def step_fn(state: TrainState, batch: CodeBatch):
+        rng = jax.random.fold_in(state.rng, state.step)
+        # per-device decorrelated dropout, like per-rank seeds (train_MedTok.py:43)
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(DP_AXIS))
+
+        grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
+        (loss, (metrics, usage)), grads = grad_fn(
+            state.params, state.usage, model, batch, rng, cfg
+        )
+        grads = jax.lax.pmean(grads, DP_AXIS)
+        metrics = jax.lax.pmean(metrics, DP_AXIS)
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        ema_params = state.ema_params
+        if ema_params is not None:
+            d = cfg.train.ema_decay
+            ema_params = jax.tree.map(
+                lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+                ema_params, params,
+            )
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            opt_state=opt_state,
+            usage=usage,
+            ema_params=ema_params,
+        )
+        return new_state, metrics
+
+    replicated = P()
+    batch_spec = CodeBatch(*([P(DP_AXIS)] * len(CodeBatch._fields)))
+
+    sharded = shard_map(
+        step_fn,
+        mesh=mesh,
+        in_specs=(replicated, batch_spec),
+        out_specs=(replicated, replicated),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,) if donate else ())
+
+
+class Trainer:
+    """Host-side loop: step dispatch, metric logging, checkpoint rotation.
+
+    Mirrors the contract of train_MedTok.py's main(): config frozen to
+    args.json next to checkpoints, ckpt every `ckpt_every` steps with
+    `max_checkpoints` rotation, steps/sec + 20-scalar metrics each
+    `log_every` (train_MedTok.py:57, 255-293, 300-333).
+    """
+
+    def __init__(
+        self,
+        cfg: MedTokConfig,
+        model: MultimodalTokenizer | None = None,
+        mesh: Mesh | None = None,
+        workdir: str | None = None,
+        log_fn: Callable[[int, dict], None] | None = None,
+    ):
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.train.mesh_dp, cfg.train.mesh_tp)
+        self.model = model if model is not None else MultimodalTokenizer(
+            cfg.model, dp_axis=DP_AXIS
+        )
+        self.workdir = workdir
+        self.log_fn = log_fn
+        self.step_fn = make_train_step(cfg, self.model, self.mesh)
+        self._ckpt = None
+        if workdir is not None:
+            from medtok_tpu.utils.checkpoint import CheckpointManager
+
+            self._ckpt = CheckpointManager(
+                workdir, max_to_keep=cfg.train.max_checkpoints, config=cfg
+            )
+
+    def init_state(self, example_batch: CodeBatch) -> TrainState:
+        state = create_train_state(self.cfg, self.model, example_batch)
+        if self._ckpt is not None and self._ckpt.latest_step() is not None:
+            state = self._ckpt.restore(state)
+        return state
+
+    def fit(self, state: TrainState, batches, *, max_steps: int | None = None):
+        """Run over an iterable of host CodeBatches; returns final state."""
+        from medtok_tpu.parallel.mesh import shard_batch
+
+        t = self.cfg.train
+        log_t0 = time.time()
+        log_steps = 0
+        running = 0.0
+        for batch in batches:
+            step = int(state.step)
+            if max_steps is not None and step >= max_steps:
+                break
+            batch = shard_batch(self.mesh, batch)
+            state, metrics = self.step_fn(state, batch)
+            log_steps += 1
+            if (step + 1) % t.log_every == 0:
+                metrics = jax.device_get(metrics)
+                dt = time.time() - log_t0
+                metrics["steps_per_sec"] = log_steps / max(dt, 1e-9)
+                if self.log_fn is not None:
+                    self.log_fn(step + 1, metrics)
+                log_t0, log_steps = time.time(), 0
+            if self._ckpt is not None and (step + 1) % t.ckpt_every == 0:
+                self._ckpt.save(state)
+        return state

@@ -1,0 +1,74 @@
+"""Checkpoint save/restore with rotation and the args.json freezing contract.
+
+Reference semantics (train_MedTok.py:57, 300-333; inference.py:30-37):
+- config dumped once as ``args.json`` next to the checkpoints
+- a checkpoint every ``ckpt_every`` steps, rotated to ``max_checkpoints``
+- restore brings back model params, optimizer state, EMA, and step.
+
+Implemented on orbax PyTreeCheckpointer — step-granular resumable state
+{params, opt_state, usage FIFO, ema, step} (SURVEY.md section 5.4).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, workdir: str | Path, *, max_to_keep: int = 2, config=None):
+        self.workdir = Path(workdir)
+        self.ckpt_dir = self.workdir / "checkpoints"
+        self.ckpt_dir.mkdir(parents=True, exist_ok=True)
+        self._ckpt = ocp.PyTreeCheckpointer()
+        if config is not None:
+            cfg_path = self.workdir / "args.json"
+            if not cfg_path.exists():
+                cfg_path.write_text(config.to_json())
+        self.max_to_keep = max_to_keep
+
+    def _step_dirs(self) -> list[Path]:
+        return sorted(
+            (p for p in self.ckpt_dir.iterdir() if p.is_dir() and p.name.isdigit()),
+            key=lambda p: int(p.name),
+        )
+
+    def latest_step(self) -> int | None:
+        dirs = self._step_dirs()
+        return int(dirs[-1].name) if dirs else None
+
+    def save(self, state: Any) -> Path:
+        step = int(jax.device_get(state.step))
+        path = self.ckpt_dir / f"{step:07d}"
+        self._ckpt.save(path.absolute(), jax.device_get(state), force=True)
+        # rotate (train_MedTok.py:320-328)
+        dirs = self._step_dirs()
+        while len(dirs) > self.max_to_keep:
+            oldest = dirs.pop(0)
+            import shutil
+
+            shutil.rmtree(oldest)
+        return path
+
+    def restore(self, target: Any, step: int | None = None) -> Any:
+        step = self.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {self.ckpt_dir}")
+        path = self.ckpt_dir / f"{step:07d}"
+        restored = self._ckpt.restore(
+            path.absolute(), item=jax.device_get(target)
+        )
+        return restored
+
+    @staticmethod
+    def load_config(workdir: str | Path):
+        """Rebuild the exact training config (inference.py:30-37 contract)."""
+        from medtok_tpu.config import MedTokConfig
+
+        return MedTokConfig.from_dict(
+            json.loads((Path(workdir) / "args.json").read_text())
+        )

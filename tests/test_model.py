@@ -113,26 +113,21 @@ def test_tokens_invariant_to_batch_order(model_and_batch):
     permuted = jax.tree.map(
         lambda x: x[perm] if x.ndim >= 1 and x.shape[0] == 4 else x, batch
     )
-    # edge arrays are flat [B*Le]; permute per-graph chunks and re-offset nodes
-    B, Ln = batch.node_ids.shape
+    # edge arrays are flat [B*Epg] per-graph chunks of local indices:
+    # permuting graphs == permuting the chunks
+    B = batch.node_ids.shape[0]
     Epg = batch.edge_src.shape[0] // B
 
-    src = np.asarray(batch.edge_src).reshape(B, Epg)
-    dst = np.asarray(batch.edge_dst).reshape(B, Epg)
-    w = np.asarray(batch.edge_weight).reshape(B, Epg)
-    local_src = src - (np.arange(B) * Ln)[:, None]
-    local_dst = dst - (np.arange(B) * Ln)[:, None]
-    new_src = local_src[perm] + (np.arange(B) * Ln)[:, None]
-    new_dst = local_dst[perm] + (np.arange(B) * Ln)[:, None]
+    def permute_chunks(e):
+        return jnp.asarray(np.asarray(e).reshape(B, Epg)[perm].reshape(-1))
+
     permuted = permuted._replace(
-        edge_src=jnp.asarray(new_src.reshape(-1), jnp.int32),
-        edge_dst=jnp.asarray(new_dst.reshape(-1), jnp.int32),
-        edge_weight=jnp.asarray(w[perm].reshape(-1)),
-        edge_src_aug=jnp.asarray(new_src.reshape(-1), jnp.int32),
-        edge_dst_aug=jnp.asarray(new_dst.reshape(-1), jnp.int32),
-        edge_weight_aug=jnp.asarray(
-            np.asarray(batch.edge_weight_aug).reshape(B, Epg)[perm].reshape(-1)
-        ),
+        edge_src=permute_chunks(batch.edge_src),
+        edge_dst=permute_chunks(batch.edge_dst),
+        edge_weight=permute_chunks(batch.edge_weight),
+        edge_src_aug=permute_chunks(batch.edge_src_aug),
+        edge_dst_aug=permute_chunks(batch.edge_dst_aug),
+        edge_weight_aug=permute_chunks(batch.edge_weight_aug),
     )
     out_p = model.apply(variables, permuted, train=False)
     np.testing.assert_array_equal(
