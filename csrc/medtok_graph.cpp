@@ -1,0 +1,168 @@
+// medtok_graph.cpp — native graph runtime for the MedTok-TPU data path.
+//
+// Replaces the reference's per-item PyG subgraph() + EdgeDropout + PyG Batch
+// collation (dataset_creator.py:250-276, 302-304 — the CPU hot spot feeding
+// the accelerator, SURVEY.md section 3.1): CSR adjacency over PrimeKG,
+// induced-subgraph extraction with relabeling, deterministic edge dropout
+// (xoshiro256**), and direct packing into the static-shape CodeBatch layout
+// (padded [B, Ln] node blocks + per-graph-chunked local edge arrays).
+//
+// C ABI for ctypes; no Python dependencies.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct Graph {
+  int64_t num_nodes = 0;
+  std::vector<int64_t> indptr;   // [num_nodes + 1] into order
+  std::vector<int64_t> dst;      // [E] edge dst, CSR-ordered by src
+  std::vector<int32_t> rel;      // [E] relation id, CSR-ordered
+};
+
+// xoshiro256** — deterministic, seedable, fast.
+struct Rng {
+  uint64_t s[4];
+  explicit Rng(uint64_t seed) {
+    // splitmix64 init
+    for (int i = 0; i < 4; i++) {
+      seed += 0x9E3779B97f4A7C15ULL;
+      uint64_t z = seed;
+      z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ULL;
+      z = (z ^ (z >> 27)) * 0x94D049BB133111EBULL;
+      s[i] = z ^ (z >> 31);
+    }
+  }
+  static inline uint64_t rotl(uint64_t x, int k) {
+    return (x << k) | (x >> (64 - k));
+  }
+  uint64_t next() {
+    uint64_t result = rotl(s[1] * 5, 7) * 9;
+    uint64_t t = s[1] << 17;
+    s[2] ^= s[0]; s[3] ^= s[1]; s[1] ^= s[2]; s[0] ^= s[3]; s[2] ^= t;
+    s[3] = rotl(s[3], 45);
+    return result;
+  }
+  double uniform() { return (next() >> 11) * 0x1.0p-53; }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Build a CSR graph from an edge list. Returns an opaque handle.
+void* medtok_graph_build(const int64_t* src, const int64_t* dst,
+                         const int32_t* rel, int64_t num_edges,
+                         int64_t num_nodes) {
+  auto* g = new Graph();
+  g->num_nodes = num_nodes;
+  g->indptr.assign(num_nodes + 1, 0);
+  for (int64_t e = 0; e < num_edges; e++) g->indptr[src[e] + 1]++;
+  for (int64_t n = 0; n < num_nodes; n++) g->indptr[n + 1] += g->indptr[n];
+  g->dst.resize(num_edges);
+  g->rel.resize(num_edges);
+  std::vector<int64_t> cursor(g->indptr.begin(), g->indptr.end() - 1);
+  for (int64_t e = 0; e < num_edges; e++) {
+    int64_t pos = cursor[src[e]]++;
+    g->dst[pos] = dst[e];
+    g->rel[pos] = rel[e];
+  }
+  return g;
+}
+
+void medtok_graph_free(void* handle) { delete static_cast<Graph*>(handle); }
+
+// Induced subgraph of `nodes` (must be sorted ascending, PyG semantics after
+// the reference's nodes_l.sort()). Writes up to max_out local-index edges;
+// returns the TOTAL number of induced edges (callers detect truncation).
+int64_t medtok_graph_subgraph(const void* handle, const int64_t* nodes,
+                              int64_t n_nodes, int32_t* out_src,
+                              int32_t* out_dst, int32_t* out_rel,
+                              int64_t max_out) {
+  const auto* g = static_cast<const Graph*>(handle);
+  int64_t count = 0;
+  for (int64_t i = 0; i < n_nodes; i++) {
+    int64_t u = nodes[i];
+    if (u < 0 || u >= g->num_nodes) continue;
+    for (int64_t p = g->indptr[u]; p < g->indptr[u + 1]; p++) {
+      int64_t v = g->dst[p];
+      const int64_t* it = std::lower_bound(nodes, nodes + n_nodes, v);
+      if (it != nodes + n_nodes && *it == v) {
+        if (count < max_out) {
+          out_src[count] = static_cast<int32_t>(i);
+          out_dst[count] = static_cast<int32_t>(it - nodes);
+          out_rel[count] = g->rel[p];
+        }
+        count++;
+      }
+    }
+  }
+  return count;
+}
+
+// Pack B samples into the CodeBatch graph layout in one call.
+//
+// Inputs: concatenated sorted node lists (node_data, offsets node_off[B+1]).
+// Outputs (pre-allocated by caller):
+//   node_ids  [B * ln]  int32, zero-padded
+//   node_mask [B * ln]  uint8
+//   edge_src/edge_dst [B * epg] int32 local indices, per-graph chunks
+//   edge_weight       [B * epg] float
+//   edge_*_aug        same, with edge dropout applied when p > 0
+// Returns number of samples whose edges were truncated to epg.
+int64_t medtok_graph_pack_batch(
+    const void* handle, const int64_t* node_data, const int64_t* node_off,
+    int64_t batch, int64_t ln, int64_t epg, double dropout_p, uint64_t seed,
+    int32_t* node_ids, uint8_t* node_mask, int32_t* edge_src,
+    int32_t* edge_dst, float* edge_weight, int32_t* edge_src_aug,
+    int32_t* edge_dst_aug, float* edge_weight_aug) {
+  const auto* g = static_cast<const Graph*>(handle);
+  int64_t truncated = 0;
+  std::memset(node_ids, 0, sizeof(int32_t) * batch * ln);
+  std::memset(node_mask, 0, sizeof(uint8_t) * batch * ln);
+  std::memset(edge_src, 0, sizeof(int32_t) * batch * epg);
+  std::memset(edge_dst, 0, sizeof(int32_t) * batch * epg);
+  std::memset(edge_weight, 0, sizeof(float) * batch * epg);
+  std::memset(edge_src_aug, 0, sizeof(int32_t) * batch * epg);
+  std::memset(edge_dst_aug, 0, sizeof(int32_t) * batch * epg);
+  std::memset(edge_weight_aug, 0, sizeof(float) * batch * epg);
+
+  std::vector<int32_t> s, d, r;
+  for (int64_t b = 0; b < batch; b++) {
+    const int64_t* nodes = node_data + node_off[b];
+    int64_t n = node_off[b + 1] - node_off[b];
+    int64_t n_keep = std::min(n, ln);
+    for (int64_t i = 0; i < n_keep; i++) {
+      node_ids[b * ln + i] = static_cast<int32_t>(nodes[i]);
+      node_mask[b * ln + i] = 1;
+    }
+    s.resize(epg); d.resize(epg); r.resize(epg);
+    int64_t total =
+        medtok_graph_subgraph(g, nodes, n_keep, s.data(), d.data(), r.data(), epg);
+    int64_t ne = std::min(total, epg);
+    if (total > epg) truncated++;
+    Rng rng(seed * 0x9E3779B97f4A7C15ULL + static_cast<uint64_t>(b));
+    int64_t o = b * epg;
+    for (int64_t e = 0; e < ne; e++) {
+      edge_src[o + e] = s[e];
+      edge_dst[o + e] = d[e];
+      edge_weight[o + e] = 1.0f;
+    }
+    int64_t na = 0;
+    for (int64_t e = 0; e < ne; e++) {
+      bool keep = dropout_p <= 0.0 || rng.uniform() > dropout_p;
+      if (keep) {
+        edge_src_aug[o + na] = s[e];
+        edge_dst_aug[o + na] = d[e];
+        edge_weight_aug[o + na] = 1.0f;
+        na++;
+      }
+    }
+  }
+  return truncated;
+}
+
+}  // extern "C"

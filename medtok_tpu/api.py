@@ -1,0 +1,71 @@
+"""Public per-code API: tokenize / encode / embed.
+
+Parity surface with the reference README (README.md:47-54):
+
+    tok = MedTok(config, params, dataset)          # or MedTok.from_checkpoint
+    tokens = tok.tokenize("E11.9")   # [4, k] token ids
+    ids    = tok.encode("E11.9")     # flat [4*k] ids
+    embed  = tok.embed("E11.9")      # [256] embedding
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from medtok_tpu.config import MedTokConfig
+from medtok_tpu.data.dataset import MedCodeDataset, collate
+from medtok_tpu.data.types import TokenizedCodes
+from medtok_tpu.models.tokenizer_model import MultimodalTokenizer
+
+
+class MedTok:
+    def __init__(self, cfg: MedTokConfig, params, usage, dataset: MedCodeDataset):
+        self.cfg = cfg
+        self.model = MultimodalTokenizer(cfg.model)
+        self.params = params
+        self.usage = usage
+        self.dataset = dataset
+        self._step = jax.jit(
+            lambda batch: self.model.apply(
+                {"params": params, "usage": usage}, batch, train=False
+            )
+        )
+
+    @classmethod
+    def from_checkpoint(cls, workdir: str | Path, dataset: MedCodeDataset) -> "MedTok":
+        """Rebuild the exact trained model from a training workdir
+        (args.json + latest checkpoint; inference.py:30-66 contract)."""
+        from medtok_tpu.train.trainer import create_train_state
+        from medtok_tpu.utils.checkpoint import CheckpointManager
+
+        cfg = CheckpointManager.load_config(workdir)
+        model = MultimodalTokenizer(cfg.model)
+        sample = collate([dataset[0]], dataset.cfg, pad_id=dataset.tokenizer.pad_id)
+        state = create_train_state(cfg, model, jax.tree.map(jax.numpy.asarray, sample))
+        mgr = CheckpointManager(workdir, max_to_keep=cfg.train.max_checkpoints)
+        state = mgr.restore(state)
+        return cls(cfg, state.params, state.usage, dataset)
+
+    def _run(self, med_code: str) -> TokenizedCodes:
+        idx = self.dataset.lookup(med_code)
+        batch = collate(
+            [self.dataset[idx]], self.dataset.cfg,
+            pad_id=self.dataset.tokenizer.pad_id,
+        )
+        return self._step(batch)
+
+    def tokenize(self, med_code: str) -> np.ndarray:
+        """[4, k] discrete token ids (rows: text, graph, shared-text,
+        shared-graph; specific rows are region-local ids)."""
+        return np.asarray(self._run(med_code).tokens[0])
+
+    def encode(self, med_code: str) -> np.ndarray:
+        """Flat [4*k] token id sequence."""
+        return self.tokenize(med_code).reshape(-1)
+
+    def embed(self, med_code: str) -> np.ndarray:
+        """[256] quantized embedding (cat of the 4 paths, tokenizer.py:246)."""
+        return np.asarray(self._run(med_code).embedding[0])

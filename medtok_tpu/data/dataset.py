@@ -1,0 +1,274 @@
+"""MedCodeDataset + static-shape bucketing collator.
+
+Reference: MedCodeDataset (/root/reference/MedTok/dataset_creator.py:174-304)
+— one sample per medical code from all_codes_mappings.parquet
+(med_code / desc / pkg_index_list), each sample = BERT-tokenized description +
+PrimeKG induced subgraph + an edge-dropout-augmented copy, PyG-Batch collated.
+
+TPU-first differences:
+- text is tokenized once up front and stored UNPADDED; the collator pads to
+  the smallest configured bucket that fits the batch (the reference always
+  pads to 512 — dataset_creator.py:279 — an 8-16x waste on the BERT FLOPs
+  hot spot for typical short code descriptions);
+- subgraphs are extracted via CSR (kg.py) and batched into bucketed static
+  (Ln, Epg) shapes with masks, not ragged PyG Batches;
+- augmentation is deterministic given (seed, epoch, index).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from medtok_tpu.config import DataConfig
+from medtok_tpu.data.kg import KnowledgeGraph, edge_dropout
+from medtok_tpu.data.text import WordPieceTokenizer
+from medtok_tpu.data.types import CodeBatch
+
+
+@dataclass
+class CodeSample:
+    index: int
+    med_code: str
+    input_ids: np.ndarray       # [L] unpadded
+    nodes: np.ndarray           # sorted global PrimeKG node ids
+    edge_src: np.ndarray        # local indices into nodes
+    edge_dst: np.ndarray
+    rel: np.ndarray
+
+
+def _pick_bucket(buckets: Sequence[int], needed: int) -> int:
+    for b in buckets:
+        if needed <= b:
+            return b
+    return buckets[-1]
+
+
+class MedCodeDataset:
+    """Loads the code vocab + KG and serves CodeSamples.
+
+    Args mirror the reference constructor (dataset_creator.py:175):
+    kg path, code map parquet, tokenizer, max text length.
+    """
+
+    def __init__(
+        self,
+        kg: KnowledgeGraph | str | Path,
+        med_codes_pkg_map_path: str | Path,
+        tokenizer: WordPieceTokenizer,
+        *,
+        cfg: DataConfig = DataConfig(),
+    ):
+        import pandas as pd
+
+        self.cfg = cfg
+        self.kg = kg if isinstance(kg, KnowledgeGraph) else KnowledgeGraph.from_csv(kg)
+        self.df = pd.read_parquet(med_codes_pkg_map_path)
+        self.tokenizer = tokenizer
+        self._text_cache: dict[int, np.ndarray] = {}
+        self._graph_cache: dict[int, tuple] = {}
+        # native C++ fast path (csrc/medtok_graph.cpp): subgraph extraction +
+        # batch packing in one call; numpy fallback otherwise
+        self.native = None
+        try:
+            from medtok_tpu.data.native import NativeGraph, native_available
+
+            if native_available():
+                self.native = NativeGraph(
+                    self.kg.edge_src, self.kg.edge_dst, self.kg.rel_index,
+                    self.kg.num_nodes,
+                )
+        except Exception:
+            self.native = None
+
+    def __len__(self) -> int:
+        return len(self.df)
+
+    def code_at(self, idx: int) -> str:
+        return str(self.df.iloc[idx]["med_code"])
+
+    def lookup(self, med_code: str) -> int:
+        """Row index of a code string (the tokenize/encode/embed API entry)."""
+        matches = self.df.index[self.df["med_code"] == med_code]
+        if len(matches) == 0:
+            raise KeyError(f"unknown medical code {med_code!r}")
+        return int(matches[0])
+
+    def node_list(self, idx: int) -> np.ndarray:
+        return np.sort(np.asarray(list(self.df.iloc[idx]["pkg_index_list"]), np.int64))
+
+    def text_ids(self, idx: int) -> np.ndarray:
+        if idx not in self._text_cache:
+            ids, _ = self.tokenizer.encode(
+                str(self.df.iloc[idx]["desc"]), max_length=self.cfg.max_text_length
+            )
+            self._text_cache[idx] = ids
+        return self._text_cache[idx]
+
+    def make_batch(
+        self, indices: Sequence[int], *, aug_seed: int | None = None
+    ) -> CodeBatch:
+        """Fast path: build a CodeBatch directly via the native packer
+        (extraction + padding + edge dropout in C++). Falls back to the
+        per-sample numpy path when the native library is unavailable."""
+        if self.native is None:
+            rng = (np.random.default_rng(aug_seed)
+                   if aug_seed is not None else None)
+            return collate([self[int(i)] for i in indices], self.cfg, rng=rng,
+                           pad_id=self.tokenizer.pad_id)
+
+        texts = [self.text_ids(int(i)) for i in indices]
+        nodes = [self.node_list(int(i)) for i in indices]
+        Lt = _pick_bucket(self.cfg.text_buckets, max(len(t) for t in texts))
+        max_n = max(len(n) for n in nodes)
+        bucket_i = next(
+            (bi for bi, b in enumerate(self.cfg.node_buckets) if max_n <= b),
+            len(self.cfg.node_buckets) - 1,
+        )
+        Ln = self.cfg.node_buckets[bucket_i]
+        Epg = self.cfg.edge_buckets[min(bucket_i, len(self.cfg.edge_buckets) - 1)]
+        p = self.cfg.edge_dropout_p if aug_seed is not None else 0.0
+        packed = self.native.pack_batch(
+            nodes, ln=Ln, epg=Epg, dropout_p=p, seed=aug_seed or 0
+        )
+        # grow the edge bucket if any sample's edges got truncated
+        while packed["truncated"] and bucket_i < len(self.cfg.edge_buckets) - 1:
+            bucket_i += 1
+            Epg = self.cfg.edge_buckets[bucket_i]
+            packed = self.native.pack_batch(
+                nodes, ln=Ln, epg=Epg, dropout_p=p, seed=aug_seed or 0
+            )
+
+        B = len(indices)
+        input_ids = np.full((B, Lt), self.tokenizer.pad_id, np.int32)
+        attention_mask = np.zeros((B, Lt), np.int32)
+        for i, t in enumerate(texts):
+            L = min(len(t), Lt)
+            input_ids[i, :L] = t[:L]
+            attention_mask[i, :L] = 1
+        return CodeBatch(
+            input_ids=input_ids, attention_mask=attention_mask,
+            node_ids=packed["node_ids"], node_mask=packed["node_mask"],
+            edge_src=packed["edge_src"], edge_dst=packed["edge_dst"],
+            edge_weight=packed["edge_weight"],
+            edge_src_aug=packed["edge_src_aug"],
+            edge_dst_aug=packed["edge_dst_aug"],
+            edge_weight_aug=packed["edge_weight_aug"],
+            code_indices=np.asarray(indices, np.int32),
+        )
+
+    def __getitem__(self, idx: int) -> CodeSample:
+        row = self.df.iloc[idx]
+        if idx not in self._text_cache:
+            ids, _ = self.tokenizer.encode(
+                str(row["desc"]), max_length=self.cfg.max_text_length
+            )
+            self._text_cache[idx] = ids
+        if idx not in self._graph_cache:
+            nodes = np.sort(np.asarray(list(row["pkg_index_list"]), np.int64))
+            src, dst, rel = self.kg.induced_subgraph(nodes)
+            self._graph_cache[idx] = (nodes, src, dst, rel)
+        nodes, src, dst, rel = self._graph_cache[idx]
+        return CodeSample(
+            index=idx, med_code=str(row["med_code"]),
+            input_ids=self._text_cache[idx],
+            nodes=nodes, edge_src=src, edge_dst=dst, rel=rel,
+        )
+
+
+def collate(
+    samples: Sequence[CodeSample],
+    cfg: DataConfig,
+    *,
+    rng: np.random.Generator | None = None,
+    pad_id: int = 0,
+) -> CodeBatch:
+    """Pad a list of samples into one static-shape CodeBatch.
+
+    When ``rng`` is given, the augmented edge copy applies edge dropout
+    (train path); otherwise it equals the clean copy (eval path).
+    Oversize graphs are truncated to the largest bucket (counted, not
+    silently: see CodeBatch.node_mask sums vs sample node counts).
+    """
+    B = len(samples)
+    Lt = _pick_bucket(cfg.text_buckets, max(len(s.input_ids) for s in samples))
+    Ln = _pick_bucket(cfg.node_buckets, max(len(s.nodes) for s in samples))
+    Epg = _pick_bucket(cfg.edge_buckets, max(len(s.edge_src) for s in samples))
+
+    input_ids = np.full((B, Lt), pad_id, np.int32)
+    attention_mask = np.zeros((B, Lt), np.int32)
+    node_ids = np.zeros((B, Ln), np.int32)
+    node_mask = np.zeros((B, Ln), bool)
+    E = B * Epg
+    edge_src = np.zeros((E,), np.int32)
+    edge_dst = np.zeros((E,), np.int32)
+    edge_weight = np.zeros((E,), np.float32)
+    edge_src_aug = np.zeros((E,), np.int32)
+    edge_dst_aug = np.zeros((E,), np.int32)
+    edge_weight_aug = np.zeros((E,), np.float32)
+    code_indices = np.asarray([s.index for s in samples], np.int32)
+
+    for i, s in enumerate(samples):
+        L = min(len(s.input_ids), Lt)
+        input_ids[i, :L] = s.input_ids[:L]
+        attention_mask[i, :L] = 1
+
+        n = min(len(s.nodes), Ln)
+        node_ids[i, :n] = s.nodes[:n]
+        node_mask[i, :n] = True
+
+        src, dst, rel = s.edge_src, s.edge_dst, s.rel
+        if n < len(s.nodes):  # node truncation: drop edges touching cut nodes
+            keep = (src < n) & (dst < n)
+            src, dst, rel = src[keep], dst[keep], rel[keep]
+        ne = min(len(src), Epg)
+        o = i * Epg
+        edge_src[o:o + ne] = src[:ne]
+        edge_dst[o:o + ne] = dst[:ne]
+        edge_weight[o:o + ne] = 1.0
+
+        if rng is not None:
+            a_src, a_dst, _ = edge_dropout(rng, src[:ne], dst[:ne], rel[:ne],
+                                           p=cfg.edge_dropout_p)
+        else:
+            a_src, a_dst = src[:ne], dst[:ne]
+        na = len(a_src)
+        edge_src_aug[o:o + na] = a_src
+        edge_dst_aug[o:o + na] = a_dst
+        edge_weight_aug[o:o + na] = 1.0
+
+    return CodeBatch(
+        input_ids=input_ids, attention_mask=attention_mask,
+        node_ids=node_ids, node_mask=node_mask,
+        edge_src=edge_src, edge_dst=edge_dst, edge_weight=edge_weight,
+        edge_src_aug=edge_src_aug, edge_dst_aug=edge_dst_aug,
+        edge_weight_aug=edge_weight_aug,
+        code_indices=code_indices,
+    )
+
+
+def epoch_batches(
+    dataset: MedCodeDataset,
+    *,
+    batch_size: int,
+    seed: int = 0,
+    epoch: int = 0,
+    shuffle: bool = True,
+    drop_last: bool = True,
+    augment: bool = True,
+) -> Iterator[CodeBatch]:
+    """Shuffled epoch iterator (DistributedSampler-equivalent: deterministic
+    per (seed, epoch) permutation, train_MedTok.py:115-121, drop_last=True
+    at :129)."""
+    n = len(dataset)
+    order = np.arange(n)
+    if shuffle:
+        np.random.default_rng(seed + epoch).shuffle(order)
+    stop = n - (n % batch_size) if drop_last else n
+    for bi, start in enumerate(range(0, stop, batch_size)):
+        idxs = order[start:start + batch_size]
+        aug_seed = ((seed + 1) * 1_000_003 + epoch * 65_537 + bi) if augment else None
+        yield dataset.make_batch([int(i) for i in idxs], aug_seed=aug_seed)

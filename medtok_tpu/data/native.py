@@ -1,0 +1,157 @@
+"""ctypes bindings for the native graph runtime (csrc/medtok_graph.cpp).
+
+Builds the shared library on demand with g++ (no pybind11 in this image) and
+exposes NativeGraph: CSR build, induced subgraphs, and one-call batch packing
+into the CodeBatch graph layout. Falls back transparently to the numpy path
+(kg.py / dataset.py) when no compiler is available — callers check
+``native_available()``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_CSRC = Path(__file__).resolve().parents[2] / "csrc"
+_LIB_PATH = _CSRC / "libmedtok_graph.so"
+_lib = None
+
+
+def _build() -> Path:
+    src = _CSRC / "medtok_graph.cpp"
+    if _LIB_PATH.exists() and _LIB_PATH.stat().st_mtime >= src.stat().st_mtime:
+        return _LIB_PATH
+    subprocess.run(
+        ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+         str(src), "-o", str(_LIB_PATH)],
+        check=True, capture_output=True,
+    )
+    return _LIB_PATH
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    lib = ctypes.CDLL(str(_build()))
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.medtok_graph_build.restype = ctypes.c_void_p
+    lib.medtok_graph_build.argtypes = [i64p, i64p, i32p, ctypes.c_int64, ctypes.c_int64]
+    lib.medtok_graph_free.argtypes = [ctypes.c_void_p]
+    lib.medtok_graph_subgraph.restype = ctypes.c_int64
+    lib.medtok_graph_subgraph.argtypes = [
+        ctypes.c_void_p, i64p, ctypes.c_int64, i32p, i32p, i32p, ctypes.c_int64
+    ]
+    lib.medtok_graph_pack_batch.restype = ctypes.c_int64
+    lib.medtok_graph_pack_batch.argtypes = [
+        ctypes.c_void_p, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_double, ctypes.c_uint64,
+        i32p, u8p, i32p, i32p, f32p, i32p, i32p, f32p,
+    ]
+    _lib = lib
+    return lib
+
+
+def native_available() -> bool:
+    try:
+        _load()
+        return True
+    except (OSError, subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+def _ptr(arr: np.ndarray, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+class NativeGraph:
+    """CSR graph with native induced-subgraph extraction + batch packing."""
+
+    def __init__(self, edge_src: np.ndarray, edge_dst: np.ndarray,
+                 rel: np.ndarray, num_nodes: int):
+        lib = _load()
+        src = np.ascontiguousarray(edge_src, np.int64)
+        dst = np.ascontiguousarray(edge_dst, np.int64)
+        rel = np.ascontiguousarray(rel, np.int32)
+        self._lib = lib
+        self._handle = lib.medtok_graph_build(
+            _ptr(src, ctypes.c_int64), _ptr(dst, ctypes.c_int64),
+            _ptr(rel, ctypes.c_int32), len(src), num_nodes,
+        )
+        self.num_nodes = num_nodes
+
+    def __del__(self):
+        if getattr(self, "_handle", None):
+            self._lib.medtok_graph_free(self._handle)
+            self._handle = None
+
+    def induced_subgraph(self, nodes: np.ndarray, max_edges: int = 1 << 20):
+        nodes = np.ascontiguousarray(np.sort(np.asarray(nodes, np.int64)))
+        src = np.empty(max_edges, np.int32)
+        dst = np.empty(max_edges, np.int32)
+        rel = np.empty(max_edges, np.int32)
+        total = self._lib.medtok_graph_subgraph(
+            self._handle, _ptr(nodes, ctypes.c_int64), len(nodes),
+            _ptr(src, ctypes.c_int32), _ptr(dst, ctypes.c_int32),
+            _ptr(rel, ctypes.c_int32), max_edges,
+        )
+        n = min(total, max_edges)
+        return src[:n].copy(), dst[:n].copy(), rel[:n].copy()
+
+    def pack_batch(
+        self,
+        node_lists: list[np.ndarray],
+        *,
+        ln: int,
+        epg: int,
+        dropout_p: float = 0.0,
+        seed: int = 0,
+    ) -> dict[str, np.ndarray]:
+        """Pack B sorted node lists into the CodeBatch graph arrays."""
+        B = len(node_lists)
+        node_off = np.zeros(B + 1, np.int64)
+        for i, nl in enumerate(node_lists):
+            node_off[i + 1] = node_off[i] + len(nl)
+        node_data = (
+            np.concatenate([np.asarray(n, np.int64) for n in node_lists])
+            if node_off[-1] > 0 else np.zeros(0, np.int64)
+        )
+        node_data = np.ascontiguousarray(node_data)
+
+        node_ids = np.zeros(B * ln, np.int32)
+        node_mask = np.zeros(B * ln, np.uint8)
+        e = B * epg
+        edge_src = np.zeros(e, np.int32)
+        edge_dst = np.zeros(e, np.int32)
+        edge_weight = np.zeros(e, np.float32)
+        edge_src_aug = np.zeros(e, np.int32)
+        edge_dst_aug = np.zeros(e, np.int32)
+        edge_weight_aug = np.zeros(e, np.float32)
+
+        truncated = self._lib.medtok_graph_pack_batch(
+            self._handle, _ptr(node_data, ctypes.c_int64),
+            _ptr(node_off, ctypes.c_int64), B, ln, epg,
+            float(dropout_p), int(seed) & (2**64 - 1),
+            _ptr(node_ids, ctypes.c_int32), _ptr(node_mask, ctypes.c_uint8),
+            _ptr(edge_src, ctypes.c_int32), _ptr(edge_dst, ctypes.c_int32),
+            _ptr(edge_weight, ctypes.c_float),
+            _ptr(edge_src_aug, ctypes.c_int32), _ptr(edge_dst_aug, ctypes.c_int32),
+            _ptr(edge_weight_aug, ctypes.c_float),
+        )
+        return {
+            "node_ids": node_ids.reshape(B, ln),
+            "node_mask": node_mask.reshape(B, ln).astype(bool),
+            "edge_src": edge_src,
+            "edge_dst": edge_dst,
+            "edge_weight": edge_weight,
+            "edge_src_aug": edge_src_aug,
+            "edge_dst_aug": edge_dst_aug,
+            "edge_weight_aug": edge_weight_aug,
+            "truncated": int(truncated),
+        }

@@ -56,6 +56,44 @@ def topk_smallest(d: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
     return -neg_vals, idx
 
 
+# Backend for the distance+top-k sweep: 'xla' (matmul + lax.top_k), 'pallas'
+# (fused kernel, ops/vq_pallas.py), or 'auto' (pallas on TPU for codebooks
+# large enough to pay off).
+TOPK_BACKEND = "auto"
+
+
+def _use_pallas(n_codes: int) -> bool:
+    if TOPK_BACKEND == "pallas":
+        return True
+    if TOPK_BACKEND == "xla":
+        return False
+    return jax.default_backend() == "tpu" and n_codes >= 1024
+
+
+def distance_topk(
+    z_n: jax.Array, e_n: jax.Array, k: int
+) -> tuple[jax.Array, jax.Array]:
+    """k smallest squared-L2 distances (values, indices) of z_n rows against
+    e_n rows. The pallas path computes indices with the fused kernel and then
+    recomputes the selected distances differentiably (a [B,k,D] gather) so
+    gradients w.r.t. z and the codebook match the XLA top_k path (torch
+    backprops through topk.values the same way)."""
+    if _use_pallas(e_n.shape[0]):
+        from medtok_tpu.ops.vq_pallas import fused_topk_l2
+
+        _, idx = fused_topk_l2(z_n, e_n, k=k)
+        idx = jax.lax.stop_gradient(idx)
+        g = e_n[idx]  # [B, k, D]
+        vals = (
+            jnp.sum(z_n * z_n, axis=-1, keepdims=True)
+            + jnp.sum(g * g, axis=-1)
+            - 2.0 * jnp.einsum("bd,bkd->bk", z_n, g)
+        )
+        return vals, idx
+    d = squared_distance(z_n, e_n)
+    return topk_smallest(d, k)
+
+
 class QuantizeOut(NamedTuple):
     z_q: jax.Array        # [B, D] straight-through quantized output
     z_q_raw: jax.Array    # [B, D] quantized output without STE (for losses)
@@ -90,8 +128,7 @@ def soft_topk_quantize(
         e_n = codebook.astype(jnp.float32)
         z_n = z32
 
-    d = squared_distance(z_n, e_n)  # [B, N]
-    values, indices = topk_smallest(d, k)  # [B, k]
+    values, indices = distance_topk(z_n, e_n, k)  # [B, k]
     weights = jax.nn.softmax(-values, axis=-1)  # [B, k]
 
     gathered = e_n[indices]  # [B, k, D]
