@@ -1,0 +1,235 @@
+"""EHR training: splits, weighted sampling, optax loop, metrics, early stop.
+
+Mirrors the reference driver + Lightning module
+(/root/reference/MedTok_EHR_Tutorial/MedTok_EHR.py:107-238;
+EHRModel_token.py:374-436, 554-572): stratified 80/10/10 split (seed 42),
+WeightedRandomSampler class balancing, CE for lenofstay / BCE-with-logits
+otherwise, AUROC/AUPRC/F1 (micro / weighted at 0.2 for multi, binary at 0.5),
+Adam + cosine annealing (T_max=10, eta_min=1e-3), early stop on val AUPRC
+(patience 5), best-checkpoint-by-val-AUPRC.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from medtok_tpu.ehr.dataset import EHRBatch, EHRFeaturizer, make_label_vec
+from medtok_tpu.ehr.model import EHRModel
+
+MULTI_TASKS = ("lenofstay", "phenotype", "drugrec")
+
+
+# ------------------------------------------------------------- metrics -----
+
+def compute_metrics(task: str, num_class: int, label_raw, probs) -> dict:
+    """(EHRModel_token.py:412-436).  probs: softmax for
+    lenofstay/readmission/mortality, sigmoid otherwise."""
+    from sklearn.metrics import average_precision_score, f1_score, roc_auc_score
+
+    probs = np.asarray(probs)
+    label_raw = np.asarray(label_raw)
+    if task in MULTI_TASKS:
+        if label_raw.ndim == 1:
+            onehot = np.zeros((label_raw.size, num_class))
+            onehot[np.arange(label_raw.size), label_raw.astype(int)] = 1
+        else:
+            onehot = label_raw
+        auroc = roc_auc_score(onehot, probs, average="micro")
+        aupr = average_precision_score(onehot, probs, average="micro")
+        f1 = f1_score(onehot, (probs >= 0.2).astype(int), average="weighted")
+    else:
+        p1 = probs[:, 1]
+        auroc = roc_auc_score(label_raw, p1)
+        aupr = average_precision_score(label_raw, p1)
+        f1 = f1_score(label_raw, (p1 > 0.5).astype(int))
+    return {"auc": float(auroc), "aupr": float(aupr), "f1": float(f1)}
+
+
+def task_probs(task: str, logits: jax.Array) -> jax.Array:
+    if task in ("lenofstay", "readmission", "mortality"):
+        return jax.nn.softmax(logits, axis=-1)
+    return jax.nn.sigmoid(logits)
+
+
+def task_loss(task: str, logits: jax.Array, label_onehot: jax.Array) -> jax.Array:
+    if task == "lenofstay":
+        return jnp.mean(
+            optax.softmax_cross_entropy(logits, label_onehot)
+        )
+    return jnp.mean(
+        optax.sigmoid_binary_cross_entropy(logits, label_onehot)
+    )
+
+
+# ----------------------------------------------------------- splitting -----
+
+def stratified_split(labels: np.ndarray, task: str, seed: int = 42):
+    """80/10/10 via two stratified splits (MedTok_EHR.py:163-175)."""
+    from sklearn.model_selection import train_test_split
+
+    strat = None if task in ("phenotype", "drugrec") else labels
+    idx = np.arange(len(labels))
+    train_idx, rest = train_test_split(
+        idx, test_size=0.2, stratify=strat, random_state=seed
+    )
+    strat2 = None if strat is None else labels[rest]
+    val_idx, test_idx = train_test_split(
+        rest, test_size=0.5, stratify=strat2, random_state=seed
+    )
+    return train_idx, val_idx, test_idx
+
+
+def sample_weights(labels: np.ndarray, task: str) -> np.ndarray:
+    """Inverse-class-frequency weights (MedTok_EHR.py:183-189)."""
+    if task in ("phenotype", "drugrec"):
+        return np.ones(len(labels))
+    counts = np.bincount(labels.astype(int))
+    return (1.0 / counts)[labels.astype(int)]
+
+
+def weighted_batches(
+    feats: list[dict], weights: np.ndarray, featurizer: EHRFeaturizer,
+    *, batch_size: int, rng: np.random.Generator,
+) -> Iterator[EHRBatch]:
+    """WeightedRandomSampler-with-replacement epoch (MedTok_EHR.py:190-193)."""
+    n = len(feats)
+    p = weights / weights.sum()
+    order = rng.choice(n, size=n, replace=True, p=p)
+    for start in range(0, n - batch_size + 1, batch_size):
+        yield featurizer.collate([feats[i] for i in order[start:start + batch_size]])
+
+
+# ---------------------------------------------------------------- loop ------
+
+@dataclasses.dataclass
+class EHRTrainConfig:
+    task: str = "readmission"
+    batch_size: int = 256
+    epochs: int = 100
+    lr: float = 1e-3
+    num_layers: int = 4
+    dropout: float = 0.5
+    hidden_dim: int = 256
+    input_dim: int = 64
+    output_dim: int = 64
+    num_heads: int = 4
+    max_visits: int = 100
+    max_medical_code: int = 2000
+    early_stop_patience: int = 5
+    seed: int = 42
+
+
+class EHRTrainer:
+    def __init__(self, cfg: EHRTrainConfig, embedding_table: np.ndarray,
+                 num_class: int):
+        self.cfg = cfg
+        self.num_class = num_class
+        self.model = EHRModel(
+            embedding_table=jnp.asarray(embedding_table, jnp.float32),
+            num_class=num_class,
+            input_dim=cfg.input_dim, output_dim=cfg.output_dim,
+            num_heads=cfg.num_heads, hidden_dim=cfg.hidden_dim,
+            num_layers=cfg.num_layers, dropout=cfg.dropout,
+        )
+        # Adam + cosine annealing (EHRModel_token.py:566-567)
+        self.tx = optax.chain(optax.scale_by_adam(), optax.scale_by_learning_rate(
+            optax.cosine_decay_schedule(cfg.lr, decay_steps=10, alpha=1e-3 / cfg.lr)
+        ))
+        self._train_step = jax.jit(self._train_step_impl)
+        self._eval_step = jax.jit(self._eval_step_impl)
+
+    def init(self, example: EHRBatch):
+        params = self.model.init(
+            {"params": jax.random.PRNGKey(self.cfg.seed),
+             "dropout": jax.random.PRNGKey(self.cfg.seed + 1)},
+            example, train=True,
+        )["params"]
+        return params, self.tx.init(params)
+
+    def _train_step_impl(self, params, opt_state, batch: EHRBatch, rng):
+        def loss_fn(p):
+            _, logits = self.model.apply(
+                {"params": p}, batch, train=True, rngs={"dropout": rng}
+            )
+            return task_loss(self.cfg.task, logits, batch.label_onehot), logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, task_probs(self.cfg.task, logits)
+
+    def _eval_step_impl(self, params, batch: EHRBatch):
+        _, logits = self.model.apply({"params": params}, batch, train=False)
+        return task_probs(self.cfg.task, logits)
+
+    def evaluate(self, params, batches: list[EHRBatch]) -> dict:
+        probs, raws = [], []
+        for b in batches:
+            probs.append(np.asarray(self._eval_step(params, b)))
+            raws.append(np.asarray(b.label_raw))
+        return compute_metrics(
+            self.cfg.task, self.num_class,
+            np.concatenate(raws), np.concatenate(probs),
+        )
+
+    def fit(
+        self,
+        feats_train: list[dict], weights_train: np.ndarray,
+        val_batches: list[EHRBatch],
+        featurizer: EHRFeaturizer,
+        *,
+        log_fn: Callable[[int, dict], None] | None = None,
+    ):
+        cfg = self.cfg
+        rng_np = np.random.default_rng(cfg.seed)
+        example = featurizer.collate([feats_train[0]] * min(2, len(feats_train)))
+        params, opt_state = self.init(example)
+        key = jax.random.PRNGKey(cfg.seed + 2)
+
+        best = {"aupr": -1.0}
+        best_params = params
+        patience = 0
+        for epoch in range(cfg.epochs):
+            for batch in weighted_batches(
+                feats_train, weights_train, featurizer,
+                batch_size=cfg.batch_size, rng=rng_np,
+            ):
+                key, sub = jax.random.split(key)
+                params, opt_state, loss, _ = self._train_step(
+                    params, opt_state, batch, sub
+                )
+            metrics = self.evaluate(params, val_batches)
+            if log_fn:
+                log_fn(epoch, {"val": metrics, "loss": float(loss)})
+            if metrics["aupr"] > best["aupr"]:
+                best, best_params, patience = metrics, params, 0
+            else:
+                patience += 1
+                if patience >= cfg.early_stop_patience:  # EarlyStopping
+                    break
+        return best_params, best
+
+
+def prepare_task_features(
+    dataset: list[list[dict]], labels: np.ndarray, num_class: int, task: str,
+    *, vocab_size: int, max_visits: int = 100, max_medical_code: int = 2000,
+) -> tuple[list[dict], EHRFeaturizer]:
+    """First-sample-per-patient featurization (dataloader.py:114)."""
+    featurizer = EHRFeaturizer(
+        vocab_size=vocab_size, max_visits=max_visits,
+        max_medical_code=max_medical_code,
+    )
+    feats = []
+    for i, d in enumerate(dataset):
+        vec = make_label_vec(
+            labels[i] if task in MULTI_TASKS and labels.ndim == 2 else labels[i],
+            num_class, task,
+        )
+        feats.append(featurizer.featurize(d[0], vec, labels[i]))
+    return feats, featurizer

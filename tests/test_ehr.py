@@ -1,0 +1,180 @@
+"""EHR downstream tests: parser, code mapper, 6 task builders, featurizer,
+model forward, metrics, and a short end-to-end training run."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from medtok_tpu.data.synthetic import synthetic_code_vocab
+from medtok_tpu.ehr.dataset import EHRFeaturizer, make_label_vec, time_format
+from medtok_tpu.ehr.parsers import MIMIC3Dataset
+from medtok_tpu.ehr.synthetic import synthetic_mimic3
+from medtok_tpu.ehr.tasks import (
+    DRUG_CANDIDATES,
+    CodeMapper,
+    PatientEHRTasks,
+    build_labels,
+)
+from medtok_tpu.ehr.train import (
+    EHRTrainConfig,
+    EHRTrainer,
+    compute_metrics,
+    prepare_task_features,
+    sample_weights,
+    stratified_split,
+)
+
+
+@pytest.fixture(scope="module")
+def ehr_env(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ehr")
+    rng = np.random.default_rng(0)
+    synthetic_code_vocab(str(d / "codes.parquet"), rng, num_codes=60, num_nodes=300)
+    mapper = CodeMapper(d / "codes.parquet")
+    codes = [str(c) for c in mapper.df["med_code"]]
+    synthetic_mimic3(d / "MIMIC_III", codes, num_patients=40, seed=1)
+    db = MIMIC3Dataset(d / "MIMIC_III")
+    return d, mapper, db
+
+
+def test_parser_basic(ehr_env):
+    _, _, db = ehr_env
+    assert len(db.patients) == 40
+    p = next(iter(db.patients.values()))
+    assert len(p) >= 2
+    v = p[0]
+    assert v.encounter_time is not None and v.discharge_time is not None
+    assert v.attr_dict["icustays_num"] >= 1
+    assert len(v.get_code_list("DIAGNOSES_ICD")) >= 1
+
+
+def test_code_mapper(ehr_env):
+    _, mapper, _ = ehr_env
+    code = str(mapper.df["med_code"].iloc[7])
+    assert mapper.map(code) == 7
+    assert mapper.map("TOTALLY_UNKNOWN") == -1
+    # dots stripped in the vocab key space (load_data.py:61)
+    m2 = CodeMapper.__new__(CodeMapper)
+    import pandas as pd
+
+    m2.df = pd.DataFrame({"med_code": ["E11.9", "A00-B99"],
+                          "pkg_index_list": [[1], [2]]})
+    m2.code_to_idx = {"E119": 0, "A00-B99": 1}
+    m2.ranges = {"A00-B99": 1}
+    m2._cache = {}
+    assert m2.map("E119") == 0
+    assert m2.map("A50") == 1  # range fallback
+    assert m2.map("C99") == -1
+
+
+@pytest.mark.parametrize("task", [
+    "readmission", "mortality", "lenofstay", "drugrec", "new_disease",
+])
+def test_task_builders(ehr_env, task):
+    d, mapper, db = ehr_env
+    tasks = PatientEHRTasks(db.patients, mapper, dataset="MIMIC_III")
+    data = tasks.build(task)
+    if task == "drugrec":
+        return  # synthetic data rarely contains the 5 ATC candidates
+    assert len(data) > 0, task
+    s = data[0][0]
+    for key in ("patient_id", "gender", "ethnicity", "conditions_map",
+                "procedures_map", "drugs_map", "label",
+                "timestamp_encounter", "timestamp_discharge"):
+        assert key in s
+    # history lengths line up
+    assert len(s["conditions_map"][0]) == len(s["timestamp_encounter"])
+    labels, num_class = build_labels(data, task)
+    # new_disease can be all-negative on synthetic data (no AMI codes)
+    assert num_class >= (1 if task == "new_disease" else 2)
+
+
+def test_phenotype_task(ehr_env):
+    d, mapper, db = ehr_env
+    # phenotype_index: label -> PrimeKG node id; use nodes that appear
+    nodes = [n for lst in mapper.df["pkg_index_list"].iloc[:24] for n in lst][:24]
+    phen = {i: int(nodes[i]) for i in range(len(nodes))}
+    tasks = PatientEHRTasks(db.patients, mapper, dataset="MIMIC_III",
+                            phenotype_index=phen)
+    data = tasks.build("phenotype")
+    if data:
+        labels, num_class = build_labels(data, "phenotype")
+        assert labels.shape[1] == num_class
+
+
+def test_time_format():
+    from datetime import timedelta
+
+    assert time_format(timedelta(days=400, hours=5)) == [1, 35, 5]
+    assert time_format(timedelta(days=-3)) == [0, 0, 0]
+
+
+def test_featurizer_shapes(ehr_env):
+    d, mapper, db = ehr_env
+    tasks = PatientEHRTasks(db.patients, mapper, dataset="MIMIC_III")
+    data = tasks.build("readmission")
+    labels, num_class = build_labels(data, "readmission")
+    feats, fz = prepare_task_features(
+        data, labels, num_class, "readmission",
+        vocab_size=len(mapper), max_visits=10, max_medical_code=64,
+    )
+    batch = fz.collate(feats[:4])
+    assert batch.codes.shape == (4, 64)
+    assert batch.time_within.shape == (4, 10, 3)
+    assert batch.pad_mask.dtype == bool
+    # miss index only for unmapped codes
+    assert batch.codes.max() <= len(mapper)
+    # real codes not masked
+    assert (~batch.pad_mask[0]).sum() > 0
+
+
+def test_model_forward_and_training(ehr_env):
+    d, mapper, db = ehr_env
+    tasks = PatientEHRTasks(db.patients, mapper, dataset="MIMIC_III")
+    data = tasks.build("readmission")
+    labels, num_class = build_labels(data, "readmission")
+    feats, fz = prepare_task_features(
+        data, labels, num_class, "readmission",
+        vocab_size=len(mapper), max_visits=10, max_medical_code=64,
+    )
+    table = np.random.default_rng(0).normal(size=(len(mapper), 256)).astype(np.float32)
+
+    tr_idx, va_idx, te_idx = stratified_split(labels, "readmission")
+    assert len(set(tr_idx) & set(va_idx)) == 0
+    w = sample_weights(labels, "readmission")
+    assert w.shape == labels.shape
+
+    cfg = EHRTrainConfig(
+        task="readmission", batch_size=8, epochs=2, num_layers=1,
+        hidden_dim=32, input_dim=64, output_dim=64, max_visits=10,
+        max_medical_code=64, early_stop_patience=2,
+    )
+    trainer = EHRTrainer(cfg, table, num_class)
+    # ensure the tiny val batch contains both classes (AUROC defined)
+    pos = [i for i in va_idx if labels[i] == 1][:4] or \
+        [i for i in tr_idx if labels[i] == 1][:4]
+    neg = [i for i in va_idx if labels[i] == 0][:4] or \
+        [i for i in tr_idx if labels[i] == 0][:4]
+    va_sel = (pos + neg)[:8]
+    val_batches = [fz.collate([feats[i] for i in va_sel])]
+    params, best = trainer.fit(
+        [feats[i] for i in tr_idx], w[tr_idx], val_batches, fz
+    )
+    assert 0.0 <= best["aupr"] <= 1.0
+    assert 0.0 <= best["auc"] <= 1.0
+    test_metrics = trainer.evaluate(params, [fz.collate([feats[i] for i in va_sel])])
+    assert set(test_metrics) == {"auc", "aupr", "f1"}
+
+
+def test_compute_metrics_binary_and_multi():
+    rng = np.random.default_rng(0)
+    y = rng.integers(0, 2, size=50)
+    p = np.stack([1 - y + rng.normal(0, 0.3, 50), y + rng.normal(0, 0.3, 50)], 1)
+    p = np.clip(p, 0, 1)
+    m = compute_metrics("readmission", 2, y, p)
+    assert m["auc"] > 0.7
+    ym = rng.integers(0, 2, size=(30, 4)).astype(float)
+    pm = np.clip(ym + rng.normal(0, 0.3, (30, 4)), 0, 1)
+    mm = compute_metrics("phenotype", 4, ym, pm)
+    assert mm["aupr"] > 0.5
