@@ -1,0 +1,175 @@
+"""LoRA finetuning of the soft-prompted LLM on MedTok QA datasets.
+
+Equivalent of MedTok_fintune_llama3.py:43-262: LoRA (r=16, alpha=32,
+q_proj/v_proj) + the soft-prompt projector are the ONLY trainable params;
+the base LLM is frozen (optax.masked). Data: JSON rows
+{"input": [q, a], "medical_codes": [...]} packed by qa.prompting.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from medtok_tpu.qa.llama import LlamaConfig, LlamaModel
+from medtok_tpu.qa.softprompt import MedTokSoftPrompt
+
+
+@dataclasses.dataclass
+class QAFinetuneConfig:
+    lora_rank: int = 16
+    lora_alpha: float = 32.0
+    lora_targets: tuple[str, ...] = ("q_proj", "v_proj")
+    cutoff_len: int = 256
+    total_len: int = 512
+    lr: float = 3e-4
+    batch_size: int = 16
+    epochs: int = 1
+    seed: int = 0
+
+
+class QAFinetuner:
+    def __init__(
+        self,
+        llm_cfg: LlamaConfig,
+        embeddings: np.ndarray,
+        cfg: QAFinetuneConfig = QAFinetuneConfig(),
+    ):
+        self.cfg = cfg
+        self.llm_cfg = dataclasses.replace(
+            llm_cfg, lora_rank=cfg.lora_rank, lora_alpha=cfg.lora_alpha,
+            lora_targets=cfg.lora_targets,
+        )
+        self.model = LlamaModel(self.llm_cfg)
+        self.soft_prompt = MedTokSoftPrompt(
+            embeddings=embeddings, hidden_size=self.llm_cfg.hidden_size,
+            cutoff_len=cfg.cutoff_len,
+        )
+        # adamw (incl. its weight decay) touches ONLY the trainable leaves;
+        # frozen leaves get zero updates — base LLM weights stay bitwise frozen
+        self.tx = optax.multi_transform(
+            {"train": optax.adamw(cfg.lr), "freeze": optax.set_to_zero()},
+            lambda params: jax.tree.map(
+                lambda m: "train" if m else "freeze", self.trainable_mask(params)
+            ),
+        )
+        self._step = jax.jit(self._step_impl)
+
+    # trainability mask: LoRA + projector only (MedTok_fintune_llama3.py:241-246)
+    @staticmethod
+    def trainable_mask(params) -> dict:
+        def mark(path, _):
+            keys = [getattr(p, "key", str(p)) for p in path]
+            return any(k in ("lora_a", "lora_b", "projector") for k in keys)
+
+        return jax.tree_util.tree_map_with_path(mark, params)
+
+    def init_params(self, llm_params, rng=None):
+        """Combine converted/initialized LLM params with fresh soft-prompt +
+        LoRA params. llm_params may lack lora_a/lora_b (converter output) —
+        missing leaves are initialized."""
+        rng = jax.random.PRNGKey(self.cfg.seed) if rng is None else rng
+        B, L = 1, self.cfg.cutoff_len + 8
+        dummy_ids = jnp.zeros((B, L), jnp.int32)
+        dummy_mask = jnp.ones((B, L), jnp.int32)
+        init_llm = self.model.init({"params": rng}, dummy_ids[:, : 8])["params"]
+        merged = _merge_params(init_llm, llm_params)
+        sp = self.soft_prompt.init(
+            {"params": jax.random.fold_in(rng, 1)},
+            dummy_ids, dummy_mask, None,
+            lambda ids: jnp.zeros(
+                ids.shape + (self.llm_cfg.hidden_size,), jnp.float32
+            ),
+            self.cfg.total_len,
+        )["params"]
+        return {"llm": merged, "soft_prompt": sp}
+
+    def loss_fn(self, params, batch, train=True):
+        llm_p, sp_p = params["llm"], params["soft_prompt"]
+
+        def embed_fn(ids):
+            return self.model.apply({"params": llm_p}, ids, method=LlamaModel.embed)
+
+        packed = self.soft_prompt.apply(
+            {"params": sp_p},
+            jnp.asarray(batch["input_ids"]),
+            jnp.asarray(batch["attention_mask"]),
+            jnp.asarray(batch["labels"]),
+            embed_fn,
+            self.cfg.total_len,
+        )
+        logits, _ = self.model.apply(
+            {"params": llm_p},
+            inputs_embeds=packed.inputs_embeds,
+            attention_mask=packed.attention_mask,
+        )
+        # causal LM shift: predict token t+1 from position t
+        logits = logits[:, :-1]
+        labels = packed.labels[:, 1:]
+        valid = labels != -100
+        safe = jnp.where(valid, labels, 0)
+        ll = optax.softmax_cross_entropy_with_integer_labels(logits, safe)
+        return jnp.sum(ll * valid) / jnp.maximum(jnp.sum(valid), 1)
+
+    def _step_impl(self, params, opt_state, batch):
+        loss, grads = jax.value_and_grad(self.loss_fn)(params, batch)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    def fit(
+        self, params, rows: list[dict],
+        *, log_fn: Callable[[int, float], None] | None = None,
+    ):
+        cfg = self.cfg
+        opt_state = self.tx.init(params)
+        rng = np.random.default_rng(cfg.seed)
+        step = 0
+        for _ in range(cfg.epochs):
+            order = rng.permutation(len(rows))
+            for start in range(0, len(rows) - cfg.batch_size + 1, cfg.batch_size):
+                batch = _collate_rows(
+                    [rows[i] for i in order[start:start + cfg.batch_size]],
+                    cutoff_len=cfg.cutoff_len,
+                )
+                params, opt_state, loss = self._step(params, opt_state, batch)
+                step += 1
+                if log_fn:
+                    log_fn(step, float(loss))
+        return params
+
+
+def _collate_rows(rows: list[dict], *, cutoff_len: int) -> dict:
+    """Pad packed rows to a common length (text part right-padded; labels
+    -100-padded)."""
+    tmax = max(len(r["input_ids"]) - cutoff_len for r in rows)
+    B = len(rows)
+    input_ids = np.zeros((B, cutoff_len + tmax), np.int32)
+    attn = np.zeros((B, cutoff_len + tmax), np.int32)
+    labels = np.full((B, tmax), -100, np.int32)
+    for i, r in enumerate(rows):
+        n = len(r["input_ids"]) - cutoff_len
+        input_ids[i, :cutoff_len] = r["input_ids"][:cutoff_len]
+        input_ids[i, cutoff_len:cutoff_len + n] = r["input_ids"][cutoff_len:]
+        attn[i, :cutoff_len] = r["attention_mask"][:cutoff_len]
+        attn[i, cutoff_len:cutoff_len + n] = r["attention_mask"][cutoff_len:]
+        labels[i, :len(r["labels"])] = r["labels"]
+    return {"input_ids": input_ids, "attention_mask": attn, "labels": labels}
+
+
+def _merge_params(init_tree, loaded_tree):
+    """Overlay loaded params onto an initialized tree (missing leaves keep
+    their fresh init — e.g. LoRA adapters over a converted base)."""
+    if loaded_tree is None:
+        return init_tree
+    if isinstance(init_tree, dict):
+        out = {}
+        for k, v in init_tree.items():
+            out[k] = _merge_params(v, loaded_tree.get(k) if isinstance(loaded_tree, dict) else None)
+        return out
+    return loaded_tree if loaded_tree is not None else init_tree
