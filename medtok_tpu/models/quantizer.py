@@ -40,6 +40,10 @@ class SoftVQQuantizer(nn.Module):
     # DDP's rank-0 buffer broadcast — per-rank telemetry; this is the
     # mesh-native, more accurate equivalent of norm_ema-style stat reduction.)
     dp_axis: str | None = None
+    # Tensor-parallel axis: the O(B*N*D) codebook distance sweep is sharded
+    # row-wise over this axis (ops.vq.distance_topk_tp) — the scale axis for
+    # large codebooks. None = single-device sweep.
+    tp_axis: str | None = None
 
     def setup(self):
         c = self.cfg
@@ -62,6 +66,10 @@ class SoftVQQuantizer(nn.Module):
                 "usage", "codebook_used",
                 lambda: jnp.zeros((c.usage_buffer_size,), jnp.int32),
             )
+
+    def _tp_axis(self) -> str | None:
+        # init traces outside shard_map where mesh axes are unbound
+        return None if self.is_initializing() else self.tp_axis
 
     # -- usage FIFO (vq...py:219-236); mutable only when 'usage' collection is.
     def _track_usage(self, indices: jax.Array) -> jax.Array:
@@ -94,13 +102,14 @@ class SoftVQQuantizer(nn.Module):
         z_flat_text = t_attn[:, 0, :]  # [CLS] (vq...py:139)
         z_flat_graph = global_mean_pool(g_attn, node_mask)  # (vq...py:140)
 
+        tp = self._tp_axis()
         q_text = vq_ops.soft_topk_quantize(
             z_flat_text, self.codebook, k=c.top_k, beta=c.commit_loss_beta,
-            l2_norm=c.l2_norm, train=train,
+            l2_norm=c.l2_norm, train=train, tp_axis=tp,
         )
         q_graph = vq_ops.soft_topk_quantize(
             z_flat_graph, self.codebook, k=c.top_k, beta=c.commit_loss_beta,
-            l2_norm=c.l2_norm, train=train,
+            l2_norm=c.l2_norm, train=train, tp_axis=tp,
         )
         usage = self._track_usage(
             jnp.concatenate([q_text.indices, q_graph.indices], axis=-1)
@@ -128,11 +137,21 @@ class SoftVQQuantizer(nn.Module):
         c = self.cfg
         proj = self.proj_text if types == "text" else self.proj_graph
         z_p = proj(z)
-        region = vq_ops.region_slice(self.codebook, types)
-        q = vq_ops.soft_topk_quantize(
-            z_p, region, k=c.top_k, beta=c.commit_loss_beta,
-            l2_norm=c.l2_norm, train=train,
-        )
+        if self._tp_axis() is not None:
+            n = c.codebook_size
+            third = n // 3
+            bounds = (0, third) if types == "text" else (n - third, n)
+            q = vq_ops.soft_topk_quantize(
+                z_p, self.codebook, k=c.top_k, beta=c.commit_loss_beta,
+                l2_norm=c.l2_norm, train=train, tp_axis=self._tp_axis(),
+                region=bounds,
+            )
+        else:
+            region = vq_ops.region_slice(self.codebook, types)
+            q = vq_ops.soft_topk_quantize(
+                z_p, region, k=c.top_k, beta=c.commit_loss_beta,
+                l2_norm=c.l2_norm, train=train,
+            )
         usage = self._track_usage(q.indices) if track else jnp.asarray(0.0)
         z_p_n = vq_ops.l2_normalize(z_p.astype(jnp.float32))
         return q.z_q, (q.vq_loss, q.commit_loss, z_p_n, q.z_q), usage, q.indices, q.weights

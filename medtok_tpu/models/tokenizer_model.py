@@ -37,6 +37,7 @@ from medtok_tpu.models.quantizer import SoftVQQuantizer
 class MultimodalTokenizer(nn.Module):
     cfg: ModelConfig
     dp_axis: str | None = None  # set when the step runs inside shard_map
+    tp_axis: str | None = None  # codebook-sweep tensor parallelism
 
     def setup(self):
         c = self.cfg
@@ -46,7 +47,8 @@ class MultimodalTokenizer(nn.Module):
         # 768 -> graph_out_channels (tokenizer.py:118; applied at :221)
         self.text_mapped = nn.Dense(c.graph.out_channels, dtype=dtype, name="text_mapped")
         self.quantize = SoftVQQuantizer(
-            c.quantizer, split=c.split, dp_axis=self.dp_axis, name="quantize"
+            c.quantizer, split=c.split, dp_axis=self.dp_axis,
+            tp_axis=self.tp_axis, name="quantize",
         )
 
     def _encode_text(self, input_ids, attention_mask, *, dropout: bool):

@@ -98,6 +98,60 @@ def distance_topk(
     return topk_smallest(d, k)
 
 
+def distance_topk_tp(
+    z_n: jax.Array,
+    e_n: jax.Array,
+    k: int,
+    tp_axis: str,
+    *,
+    region: tuple[int, int] | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Tensor-parallel top-k codebook sweep (inside shard_map over ``tp_axis``).
+
+    The codebook is replicated in memory but the O(B*N*D) distance matmul is
+    computed shard-wise: each tp rank scans rows [r*N/tp, (r+1)*N/tp), local
+    top-k candidates ([B, k] values+global ids) are all-gathered over ICI and
+    merged with a two-key lexicographic sort (value, then global index — the
+    torch.topk tie-break). The returned values are recomputed differentiably
+    from the replicated codebook, so gradients are identical on every tp rank
+    and no extra collectives are needed in the backward pass.
+
+    ``region`` restricts candidates to global rows [lo, hi) by masking —
+    the sharded equivalent of the reference's codebook slicing
+    (vector_quantization_soft_one_new.py:194-200).
+    """
+    n = e_n.shape[0]
+    tp = jax.lax.axis_size(tp_axis)
+    assert n % tp == 0, f"codebook rows {n} not divisible by tp={tp}"
+    ln = n // tp
+    r = jax.lax.axis_index(tp_axis)
+    shard = jax.lax.dynamic_slice_in_dim(jax.lax.stop_gradient(e_n), r * ln, ln)
+
+    d = squared_distance(jax.lax.stop_gradient(z_n), shard)  # [B, ln]
+    gids = r * ln + jnp.arange(ln)
+    if region is not None:
+        lo, hi = region
+        d = jnp.where((gids >= lo) & (gids < hi), d, jnp.inf)
+    vals, li = topk_smallest(d, k)
+    gi = gids[li]
+
+    all_vals = jax.lax.all_gather(vals, tp_axis, axis=1, tiled=True)  # [B, tp*k]
+    all_idx = jax.lax.all_gather(gi, tp_axis, axis=1, tiled=True)
+    svals, sidx = jax.lax.sort(
+        (all_vals, all_idx.astype(jnp.int32)), dimension=1, num_keys=2
+    )
+    idx = sidx[:, :k]
+
+    # differentiable recompute from the replicated codebook
+    g = e_n[idx]  # [B, k, D]
+    values = (
+        jnp.sum(z_n * z_n, axis=-1, keepdims=True)
+        + jnp.sum(g * g, axis=-1)
+        - 2.0 * jnp.einsum("bd,bkd->bk", z_n, g)
+    )
+    return values, idx
+
+
 class QuantizeOut(NamedTuple):
     z_q: jax.Array        # [B, D] straight-through quantized output
     z_q_raw: jax.Array    # [B, D] quantized output without STE (for losses)
@@ -115,6 +169,8 @@ def soft_topk_quantize(
     beta: float = 0.25,
     l2_norm: bool = True,
     train: bool = True,
+    tp_axis: str | None = None,
+    region: tuple[int, int] | None = None,
 ) -> QuantizeOut:
     """Soft top-k quantization of ``z`` against ``codebook`` rows.
 
@@ -131,6 +187,29 @@ def soft_topk_quantize(
     else:
         e_n = codebook.astype(jnp.float32)
         z_n = z32
+
+    if tp_axis is not None:
+        values, indices = distance_topk_tp(z_n, e_n, k, tp_axis, region=region)
+        if region is not None:
+            # reference returns region-LOCAL ids (it indexes a sliced codebook)
+            indices = indices - region[0]
+            gathered = e_n[indices + region[0]]
+        else:
+            gathered = e_n[indices]
+        weights = jax.nn.softmax(-values, axis=-1)
+        z_q_raw = jnp.sum(weights[..., None] * gathered, axis=1)
+        if train:
+            vq_loss = jnp.mean((jax.lax.stop_gradient(z32) - z_q_raw) ** 2)
+            commit_loss = beta * jnp.mean(
+                (z32 - jax.lax.stop_gradient(z_q_raw)) ** 2
+            )
+        else:
+            vq_loss = jnp.asarray(0.0, jnp.float32)
+            commit_loss = jnp.asarray(0.0, jnp.float32)
+        z_q = z32 + jax.lax.stop_gradient(z_q_raw - z32)
+        return QuantizeOut(
+            z_q.astype(z.dtype), z_q_raw, indices, weights, vq_loss, commit_loss
+        )
 
     values, indices = distance_topk(z_n, e_n, k)  # [B, k]
     weights = jax.nn.softmax(-values, axis=-1)  # [B, k]

@@ -165,9 +165,15 @@ class Trainer:
     ):
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_mesh(cfg.train.mesh_dp, cfg.train.mesh_tp)
-        self.model = model if model is not None else MultimodalTokenizer(
-            cfg.model, dp_axis=DP_AXIS
-        )
+        tp = self.mesh.shape.get("tp", 1)
+        if model is None:
+            from medtok_tpu.parallel.mesh import TP_AXIS
+
+            model = MultimodalTokenizer(
+                cfg.model, dp_axis=DP_AXIS,
+                tp_axis=TP_AXIS if tp > 1 else None,
+            )
+        self.model = model
         self.workdir = workdir
         self.log_fn = log_fn
         self.step_fn = make_train_step(cfg, self.model, self.mesh)
