@@ -1,0 +1,121 @@
+"""EHR outcome-prediction CLI — the MedTok_EHR.py equivalent.
+
+    python -m medtok_tpu.cli.ehr --dataset MIMIC_III --task readmission \
+        --ehr-root Dataset/EHR --med-codes Dataset/medicalCode/all_codes_mappings.parquet \
+        --embedding-path results/<exp>/embeddings_all.npy
+
+Flag surface mirrors /root/reference/MedTok_EHR_Tutorial/MedTok_EHR.py:44-85.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset", type=str, default="MIMIC_III",
+                   choices=["MIMIC_III", "MIMIC_IV", "EHRShot"])
+    p.add_argument("--task", type=str, default="readmission",
+                   choices=["mortality", "readmission", "lenofstay", "drugrec",
+                            "phenotype", "new_disease"])
+    p.add_argument("--ehr-root", type=str, default="Dataset/EHR")
+    p.add_argument("--med-codes", type=str,
+                   default="Dataset/medicalCode/all_codes_mappings.parquet")
+    p.add_argument("--embedding-path", type=str,
+                   default="results/embeddings_all.npy")
+    p.add_argument("--phenotype-index", type=str, default=None)
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--hidden-dim", type=int, default=256)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--dropout", type=float, default=0.5)
+    p.add_argument("--num-layers", type=int, default=4)
+    p.add_argument("--num-heads", type=int, default=4)
+    p.add_argument("--input-dim", type=int, default=64)
+    p.add_argument("--output-dim", type=int, default=64)
+    p.add_argument("--max-visits", type=int, default=100)
+    p.add_argument("--max-medical-code", type=int, default=2000)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--save-result-path", type=str, default="task_results")
+    return p
+
+
+def main(argv=None) -> None:
+    from medtok_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+    args = build_parser().parse_args(argv)
+
+    from medtok_tpu.ehr.parsers import EHRShotDataset, MIMIC3Dataset, MIMIC4Dataset
+    from medtok_tpu.ehr.tasks import CodeMapper, PatientEHRTasks, build_labels
+    from medtok_tpu.ehr.train import (
+        EHRTrainConfig,
+        EHRTrainer,
+        prepare_task_features,
+        sample_weights,
+        stratified_split,
+    )
+    from medtok_tpu.utils.logging import create_logger
+
+    logger = create_logger(args.save_result_path)
+    root = Path(args.ehr_root) / args.dataset
+    parser_cls = {
+        "MIMIC_III": MIMIC3Dataset,
+        "MIMIC_IV": MIMIC4Dataset,
+        "EHRShot": EHRShotDataset,
+    }[args.dataset]
+    logger.info(f"Loading {args.dataset} from {root}")
+    db = parser_cls(root)
+    mapper = CodeMapper(args.med_codes)
+    tasks = PatientEHRTasks(
+        db.patients, mapper, dataset=args.dataset,
+        phenotype_index=args.phenotype_index,
+        cache_path=Path(args.ehr_root) / args.dataset /
+        f"{args.dataset}_patient_{args.task}.pkl",
+    )
+    data = tasks.build(args.task)
+    data = [d for d in data if d and d[0]["label"] is not None]
+    logger.info(f"Number of samples: {len(data)}")
+
+    labels, num_class = build_labels(data, args.task)
+    feats, fz = prepare_task_features(
+        data, labels, num_class, args.task,
+        vocab_size=len(mapper), max_visits=args.max_visits,
+        max_medical_code=args.max_medical_code,
+    )
+    tr, va, te = stratified_split(labels, args.task, seed=args.seed)
+    w = sample_weights(labels, args.task)
+
+    table = np.load(args.embedding_path)
+    cfg = EHRTrainConfig(
+        task=args.task, batch_size=args.batch_size, epochs=args.epochs,
+        lr=args.lr, num_layers=args.num_layers, dropout=args.dropout,
+        hidden_dim=args.hidden_dim, input_dim=args.input_dim,
+        output_dim=args.output_dim, num_heads=args.num_heads,
+        max_visits=args.max_visits, max_medical_code=args.max_medical_code,
+        seed=args.seed,
+    )
+    trainer = EHRTrainer(cfg, table, num_class)
+    val_batches = [
+        fz.collate([feats[i] for i in va[s:s + args.batch_size]])
+        for s in range(0, max(len(va) - args.batch_size + 1, 1), args.batch_size)
+    ]
+    params, best = trainer.fit(
+        [feats[i] for i in tr], w[tr], val_batches, fz,
+        log_fn=lambda e, m: logger.info(f"epoch {e}: {m}"),
+    )
+    logger.info(f"Best val: {best}")
+    test_batches = [
+        fz.collate([feats[i] for i in te[s:s + args.batch_size]])
+        for s in range(0, max(len(te) - args.batch_size + 1, 1), args.batch_size)
+    ]
+    test = trainer.evaluate(params, test_batches)
+    logger.info(f"Test: {test}")
+
+
+if __name__ == "__main__":
+    main()

@@ -26,8 +26,8 @@ def make_mesh(dp: int = -1, tp: int = 1, devices=None) -> Mesh:
     if dp == -1:
         assert n % tp == 0, f"{n} devices not divisible by tp={tp}"
         dp = n // tp
-    assert dp * tp == n, f"dp({dp}) * tp({tp}) != devices({n})"
-    arr = np.asarray(devices).reshape(dp, tp)
+    assert dp * tp <= n, f"dp({dp}) * tp({tp}) > devices({n})"
+    arr = np.asarray(devices[: dp * tp]).reshape(dp, tp)
     return Mesh(arr, (DP_AXIS, TP_AXIS))
 
 
