@@ -95,6 +95,96 @@ class KnowledgeGraph:
         return local_src, local_dst, rel
 
 
+@dataclass
+class HeteroKG:
+    """Heterogeneous PrimeKG view (aux, not on the training path).
+
+    Equivalent of the reference's DGL-based HeteroKG
+    (dataset_creator.py:30-153): per-node-type reindexing
+    (``node_type_graph_index`` = cumcount within type) and per-
+    (x_type, relation, y_type) edge groups — as plain numpy arrays with an
+    .npz cache instead of a DGL heterograph (no runtime trains on it).
+    """
+
+    # node_index -> (node_type, type_local_index)
+    node_type: dict[int, str]
+    node_type_graph_index: dict[int, int]
+    # (x_type, relation, y_type) -> (src_local [E], dst_local [E])
+    edge_groups: dict[tuple[str, str, str], tuple[np.ndarray, np.ndarray]]
+
+    @classmethod
+    def from_csv(cls, kg_path: str | Path, cache_path: str | Path | None = None) -> "HeteroKG":
+        import pandas as pd
+
+        if cache_path is not None and Path(cache_path).exists():
+            return cls._load(cache_path)
+        p = Path(kg_path)
+        if p.is_dir():
+            p = p / "kg.csv"
+        df = pd.read_csv(p, low_memory=False)
+
+        # unique nodes with first-appearance order, cumcount within type
+        # (dataset_creator.py:59-62, 78-100)
+        nx = df[["x_index", "x_type"]].rename(
+            columns={"x_index": "node_index", "x_type": "node_type"})
+        ny = df[["y_index", "y_type"]].rename(
+            columns={"y_index": "node_index", "y_type": "node_type"})
+        nodes = pd.concat([nx, ny], ignore_index=True).drop_duplicates(
+            subset=["node_index"]).reset_index(drop=True)
+        nodes["node_type_graph_index"] = nodes.groupby("node_type").cumcount()
+        node_type = dict(zip(nodes["node_index"], nodes["node_type"]))
+        local = dict(zip(nodes["node_index"], nodes["node_type_graph_index"]))
+
+        edge_groups: dict = {}
+        for (xt, rel, yt), sub in df.groupby(
+            ["x_type", "relation", "y_type"], sort=False
+        ):
+            src = np.asarray([local[i] for i in sub["x_index"]], np.int64)
+            dst = np.asarray([local[i] for i in sub["y_index"]], np.int64)
+            edge_groups[(xt, rel, yt)] = (src, dst)
+        kg = cls(node_type, local, edge_groups)
+        if cache_path is not None:
+            kg._save(cache_path)
+        return kg
+
+    def num_nodes(self, ntype: str) -> int:
+        return sum(1 for t in self.node_type.values() if t == ntype)
+
+    def num_edges(self) -> int:
+        return sum(len(s) for s, _ in self.edge_groups.values())
+
+    def get_type_graph_index(self, org_idx: int) -> int:
+        """(dataset_creator.py:147-153)."""
+        return self.node_type_graph_index[org_idx]
+
+    def _save(self, path: str | Path) -> None:
+        arrays = {}
+        for i, (key, (s, d)) in enumerate(self.edge_groups.items()):
+            arrays[f"src_{i}"] = s
+            arrays[f"dst_{i}"] = d
+        meta = {
+            "keys": list(self.edge_groups),
+            "node_index": list(self.node_type),
+            "node_type": list(self.node_type.values()),
+            "local": list(self.node_type_graph_index.values()),
+        }
+        np.savez_compressed(path, meta=np.asarray([repr(meta)]), **arrays)
+
+    @classmethod
+    def _load(cls, path: str | Path) -> "HeteroKG":
+        import ast
+
+        z = np.load(path, allow_pickle=False)
+        meta = ast.literal_eval(str(z["meta"][0]))
+        node_type = dict(zip(meta["node_index"], meta["node_type"]))
+        local = dict(zip(meta["node_index"], meta["local"]))
+        groups = {
+            tuple(k): (z[f"src_{i}"], z[f"dst_{i}"])
+            for i, k in enumerate(meta["keys"])
+        }
+        return cls(node_type, local, groups)
+
+
 def edge_dropout(
     rng: np.random.Generator, src: np.ndarray, dst: np.ndarray, rel: np.ndarray,
     p: float = 0.1,

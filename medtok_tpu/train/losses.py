@@ -83,6 +83,22 @@ def specific_loss(z1, z1_aug, z2, z2_aug, z1_c, z2_c):
     )
 
 
+def compute_entropy_loss(
+    affinity: jax.Array, temperature: float = 0.01
+) -> jax.Array:
+    """Codebook-entropy regularizer: sample entropy minus average entropy
+    (vector_quantization_soft_one_new.py:273-287; off by default —
+    entropy_loss_ratio=0.0 at train_MedTok.py:373)."""
+    flat = affinity.reshape(-1, affinity.shape[-1]).astype(jnp.float32)
+    flat = flat / temperature
+    probs = jax.nn.softmax(flat, axis=-1)
+    log_probs = jax.nn.log_softmax(flat + 1e-5, axis=-1)
+    avg_probs = jnp.mean(probs, axis=0)
+    avg_entropy = -jnp.sum(avg_probs * jnp.log(avg_probs + 1e-5))
+    sample_entropy = -jnp.mean(jnp.sum(probs * log_probs, axis=-1))
+    return sample_entropy - avg_entropy
+
+
 class LossBreakdown(NamedTuple):
     total: jax.Array
     metrics: dict

@@ -1,0 +1,103 @@
+"""Aux subsystem tests: HeteroKG, Prompter, entropy loss, parity harness,
+profiling utils."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+
+def test_heterokg_build_and_cache(tmp_path):
+    from medtok_tpu.data.kg import HeteroKG
+    from medtok_tpu.data.synthetic import synthetic_kg_csv
+
+    rng = np.random.default_rng(0)
+    synthetic_kg_csv(str(tmp_path / "kg.csv"), rng, num_nodes=100, num_edges=500)
+    kg = HeteroKG.from_csv(tmp_path / "kg.csv", cache_path=tmp_path / "h.npz")
+    assert kg.num_edges() == 500
+    # local indices are dense 0..n_t-1 per type
+    for t in set(kg.node_type.values()):
+        locals_t = sorted(
+            kg.node_type_graph_index[i]
+            for i, ty in kg.node_type.items() if ty == t
+        )
+        assert locals_t == list(range(len(locals_t)))
+    # edge group locals stay in range
+    for (xt, rel, yt), (s, d) in kg.edge_groups.items():
+        assert s.max() < kg.num_nodes(xt)
+        assert d.max() < kg.num_nodes(yt)
+    # cache round-trip
+    kg2 = HeteroKG.from_csv(tmp_path / "kg.csv", cache_path=tmp_path / "h.npz")
+    assert kg2.num_edges() == kg.num_edges()
+    assert set(kg2.edge_groups) == set(kg.edge_groups)
+
+
+def test_prompter():
+    from medtok_tpu.qa.prompter import Prompter
+
+    p = Prompter("alpaca")
+    full = p.generate_prompt("Do X", "with Y", "done")
+    assert "### Instruction:\nDo X" in full
+    assert "### Input:\nwith Y" in full
+    assert full.endswith("done")
+    no_in = p.generate_prompt("Do X")
+    assert "### Input" not in no_in
+    assert p.get_response("junk ### Response: hello") == "hello"
+    with pytest.raises(ValueError):
+        Prompter("nope")
+
+
+def test_entropy_loss_matches_torch():
+    import torch
+    import torch.nn.functional as F
+
+    from medtok_tpu.train.losses import compute_entropy_loss
+
+    rng = np.random.default_rng(1)
+    aff = rng.normal(size=(16, 32)).astype(np.float32)
+    ours = float(compute_entropy_loss(jnp.asarray(aff)))
+
+    flat = torch.as_tensor(aff) / 0.01
+    probs = F.softmax(flat, dim=-1)
+    log_probs = F.log_softmax(flat + 1e-5, dim=-1)
+    avg = probs.mean(0)
+    avg_ent = -(avg * torch.log(avg + 1e-5)).sum()
+    samp_ent = -(probs * log_probs).sum(-1).mean()
+    assert ours == pytest.approx(float(samp_ent - avg_ent), rel=1e-3)
+
+
+def test_parity_harness(tmp_path):
+    from medtok_tpu.export.parity import compare_exports
+
+    rng = np.random.default_rng(2)
+    n = 20
+    toks = rng.integers(0, 100, size=(n, 4, 5)).astype(np.int32)
+    emb = rng.normal(size=(n, 256)).astype(np.float32)
+    for d in ("a", "b"):
+        (tmp_path / d).mkdir()
+    np.save(tmp_path / "a" / "tokens_all.npy", toks)
+    np.save(tmp_path / "a" / "embeddings_all.npy", emb)
+    toks2 = toks.copy()
+    toks2[3, 1, 0] += 1  # one graph-specific mismatch
+    np.save(tmp_path / "b" / "tokens_all.npy", toks2)
+    np.save(tmp_path / "b" / "embeddings_all.npy", emb + 1e-6)
+
+    r = compare_exports(tmp_path / "a", tmp_path / "b")
+    assert not r["token_exact_match"]
+    assert r["token_id_parity"]["graph_specific"]["mismatched_codes"] == 1
+    assert r["token_id_parity"]["text_specific"]["mismatched_codes"] == 0
+    assert r["token_id_parity"]["graph_specific"]["first_mismatches"] == [3]
+    assert r["embeddings_all"]["max_abs_err"] < 1e-5
+
+
+def test_step_timer():
+    from medtok_tpu.utils.profiling import StepTimer
+
+    t = StepTimer()
+    for _ in range(3):
+        t.start()
+        sum(range(1000))
+        t.stop()
+    s = t.summary()
+    assert s["steps_per_sec"] > 0
+    assert s["step_ms_p50"] >= 0
