@@ -78,6 +78,8 @@ class MIMIC3Dataset:
             "DIAGNOSES_ICD": self._parse_diagnoses,
             "PROCEDURES_ICD": self._parse_procedures,
             "PRESCRIPTIONS": self._parse_prescriptions,
+            "LABEVENTS": self._parse_labevents,
+            "ICUSTAYS": self._parse_icustay_events,
         }
         for t in tables:
             parsers[t]()
@@ -150,6 +152,21 @@ class MIMIC3Dataset:
             df, "PRESCRIPTIONS", "ATC" if self.ndc_to_atc else "NDC", "NDC",
             map_fn=lambda c: _apply_code_map(c, self.ndc_to_atc),
         )
+
+    def _parse_labevents(self):
+        """LABEVENTS -> MIMIC3_ITEMID events (mimic3.py:294-340)."""
+        df = _read(self.root, "LABEVENTS",
+                   dtype={"SUBJECT_ID": str, "HADM_ID": str, "ITEMID": str})
+        df = df.dropna(subset=["SUBJECT_ID", "HADM_ID", "ITEMID"])
+        self._add_events(df, "LABEVENTS", "MIMIC3_ITEMID", "ITEMID")
+
+    def _parse_icustay_events(self):
+        """ICUSTAYS -> icustay events (mimic3.py:393-448; the per-visit
+        icustays_num attr is populated in _parse_basic regardless)."""
+        df = _read(self.root, "ICUSTAYS",
+                   dtype={"SUBJECT_ID": str, "HADM_ID": str, "ICUSTAY_ID": str})
+        df = df.dropna(subset=["SUBJECT_ID", "HADM_ID", "ICUSTAY_ID"])
+        self._add_events(df, "ICUSTAYS", "icustay", "ICUSTAY_ID")
 
 
 class MIMIC4Dataset:

@@ -130,6 +130,21 @@ class SoftVQQuantizer(nn.Module):
         z_q_cat = jnp.concatenate([q_text.z_q, q_graph.z_q], axis=-1)
         return z_q_cat, loss_tuple, usage, tokens
 
+    def shared_pooled(self, z_text, z_graph, text_mask, node_mask):
+        """Normalized pooled shared-path features (no quantization) — the
+        data the kmeans codebook init clusters (the reference's kmeans=True
+        flag constructs an EmbeddingEMA codebook but never invokes its
+        init on this path; see train.trainer.kmeans_init_codebook)."""
+        t_attn, g_attn = self.cross_attn(
+            z_text, z_graph, v1_mask=text_mask, v2_mask=node_mask,
+            deterministic=True,
+        )
+        z_t = vq_ops.l2_normalize(t_attn[:, 0, :].astype(jnp.float32))
+        z_g = vq_ops.l2_normalize(
+            global_mean_pool(g_attn, node_mask).astype(jnp.float32)
+        )
+        return z_t, z_g
+
     def specific_embedding(self, z, types: str, *, train: bool, track: bool = True):
         """Modality-specific quantization against a codebook region
         (vq...py:187-217). Returned indices are region-local, matching the

@@ -138,6 +138,14 @@ class MultimodalTokenizer(nn.Module):
         ).astype(jnp.float32)
         return TokenizedCodes(embedding, tokens, weights)
 
+    def encode_shared(self, batch: CodeBatch):
+        """Pooled normalized shared-path features for kmeans codebook init."""
+        text_features, graph_node_features, _ = self._encode(batch, train=False)
+        return self.quantize.shared_pooled(
+            text_features, graph_node_features,
+            batch.attention_mask.astype(bool), batch.node_mask,
+        )
+
     def tokenize(self, batch: CodeBatch) -> TokenizedCodes:
         """No-grad eval tokenization (tokenizer.py:249-277, with the eval
         outputs of forward — the reference's tokenize() drops tokens/weights

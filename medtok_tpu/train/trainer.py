@@ -89,6 +89,36 @@ def _loss_fn(params, usage, model, batch, dropout_rng, cfg: MedTokConfig):
     return breakdown.total, (breakdown.metrics, mutated.get("usage", usage))
 
 
+def kmeans_init_codebook(
+    model: MultimodalTokenizer, state: TrainState, batches, rng=None
+) -> TrainState:
+    """Cosine-kmeans codebook initialization from the first batch(es)'
+    shared-path features (QuantizerConfig.use_kmeans / the reference's
+    --kmeans flag; its soft-VQ path constructs an EmbeddingEMA codebook but
+    never runs the init — this is the completed TPU-native version)."""
+    import numpy as np
+
+    from medtok_tpu.ops.ema import kmeans
+
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+    feats = []
+    enc = jax.jit(lambda p, u, b: model.apply(
+        {"params": p, "usage": u}, b, method=MultimodalTokenizer.encode_shared
+    ))
+    for b in batches:
+        zt, zg = enc(state.params, state.usage, b)
+        feats += [np.asarray(zt), np.asarray(zg)]
+    data = jnp.asarray(np.concatenate(feats, axis=0))
+    n_e = state.params["quantize"]["codebook"].shape[0]
+    means, _ = kmeans(rng, data, n_e, num_iters=10, use_cosine_sim=True)
+    params = dict(state.params)
+    params["quantize"] = dict(params["quantize"])
+    params["quantize"]["codebook"] = means.astype(
+        state.params["quantize"]["codebook"].dtype
+    )
+    return state.replace(params=params)
+
+
 def make_train_step(
     cfg: MedTokConfig, model: MultimodalTokenizer, mesh: Mesh,
     *, donate: bool = True,

@@ -168,3 +168,19 @@ def test_config_json_roundtrip():
     from medtok_tpu.config import MedTokConfig as C
 
     assert C.from_dict(__import__("json").loads(cfg.to_json())) == cfg
+
+
+def test_kmeans_init_codebook(train_setup):
+    from medtok_tpu.train.trainer import create_train_state, kmeans_init_codebook
+
+    cfg, model, mesh, batch, _ = train_setup
+    state = create_train_state(cfg, model, batch)
+    before = np.asarray(state.params["quantize"]["codebook"])
+    state2 = kmeans_init_codebook(model, state, [batch])
+    after = np.asarray(state2.params["quantize"]["codebook"])
+    assert after.shape == before.shape
+    assert not np.allclose(after, before)
+    # cosine kmeans on n << n_e samples: matched rows are unit-norm; the rest
+    # keep their sampled init (also unit-norm-ish after normalize)
+    norms = np.linalg.norm(after, axis=-1)
+    assert np.isfinite(norms).all()
