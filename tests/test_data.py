@@ -177,3 +177,27 @@ def test_export_and_api_end_to_end(dataset, tmp_path):
     assert ids.shape == (4, mcfg.quantizer.top_k)
     np.testing.assert_array_equal(ids, arrays["tokens_all"][5])
     np.testing.assert_allclose(emb, arrays["embeddings_all"][5], rtol=2e-3, atol=2e-4)
+
+
+def test_export_invariant_to_batch_size(dataset, tmp_path):
+    """Token IDs must not depend on export batching/bucket shapes — the
+    static-shape analogue of SURVEY.md 4b's padding invariance, checked
+    through the per-path parity harness."""
+    from tests.test_model import tiny_config
+    from medtok_tpu.export.export import export_all
+    from medtok_tpu.export.parity import compare_exports
+    from medtok_tpu.models.tokenizer_model import MultimodalTokenizer
+
+    mcfg = tiny_config()
+    model = MultimodalTokenizer(mcfg)
+    batch = collate([dataset[0]], dataset.cfg, pad_id=dataset.tokenizer.pad_id)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jax.tree.map(jnp.asarray, batch), train=False,
+    )
+    for bs, sub in ((4, "a"), (16, "b")):
+        export_all(model, variables["params"], variables["usage"], dataset,
+                   batch_size=bs, out_dir=tmp_path / sub)
+    report = compare_exports(tmp_path / "a", tmp_path / "b")
+    assert report["token_exact_match"], report["token_id_parity"]
+    assert report["embeddings_all"]["max_abs_err"] < 2e-3
