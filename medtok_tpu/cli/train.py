@@ -116,6 +116,8 @@ def config_from_args(args) -> "MedTokConfig":
             mixed_precision=args.mixed_precision, ema=args.ema,
             results_dir=args.results_dir,
             mesh_dp=args.mesh_dp, mesh_tp=args.mesh_tp,
+            shared_loss_beta=args.shared_loss_beta,
+            specific_loss_lamb=args.specific_loss_lamb,
         ),
     )
 
