@@ -64,6 +64,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh-tp", type=int, default=1)
     p.add_argument("--wandb", action="store_true")
     p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--multihost", action="store_true",
+                   help="bootstrap jax.distributed for TPU pod slices")
     return p
 
 
@@ -127,6 +129,10 @@ def main(argv=None) -> None:
 
     apply_platform_env()
     args = build_parser().parse_args(argv)
+    if args.multihost:
+        from medtok_tpu.parallel.mesh import initialize_distributed
+
+        initialize_distributed()
     cfg = config_from_args(args)
 
     from medtok_tpu.data.dataset import MedCodeDataset, epoch_batches

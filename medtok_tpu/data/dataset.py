@@ -61,6 +61,7 @@ class MedCodeDataset:
         tokenizer: WordPieceTokenizer,
         *,
         cfg: DataConfig = DataConfig(),
+        cache_dir: str | Path | None = None,
     ):
         import pandas as pd
 
@@ -70,6 +71,17 @@ class MedCodeDataset:
         self.tokenizer = tokenizer
         self._text_cache: dict[int, np.ndarray] = {}
         self._graph_cache: dict[int, tuple] = {}
+        # tokenized-description cache file (the reference pickles
+        # med_code_descriptions.pkl once, dataset_creator.py:213-229)
+        self._cache_file = (
+            Path(cache_dir) / "med_code_descriptions.pkl"
+            if cache_dir is not None else None
+        )
+        if self._cache_file is not None and self._cache_file.exists():
+            import pickle
+
+            with open(self._cache_file, "rb") as f:
+                self._text_cache = pickle.load(f)
         # native C++ fast path (csrc/medtok_graph.cpp): subgraph extraction +
         # batch packing in one call; numpy fallback otherwise
         self.native = None
@@ -96,6 +108,16 @@ class MedCodeDataset:
         if len(matches) == 0:
             raise KeyError(f"unknown medical code {med_code!r}")
         return int(matches[0])
+
+    def save_text_cache(self) -> None:
+        """Persist the tokenized descriptions (call after a full pass)."""
+        if self._cache_file is None:
+            return
+        import pickle
+
+        self._cache_file.parent.mkdir(parents=True, exist_ok=True)
+        with open(self._cache_file, "wb") as f:
+            pickle.dump(self._text_cache, f)
 
     def node_list(self, idx: int) -> np.ndarray:
         return np.sort(np.asarray(list(self.df.iloc[idx]["pkg_index_list"]), np.int64))

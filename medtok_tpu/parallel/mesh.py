@@ -19,6 +19,28 @@ DP_AXIS = "dp"
 TP_AXIS = "tp"
 
 
+def initialize_distributed() -> None:
+    """Multi-host bootstrap (the init_process_group/SLURM-env equivalent of
+    utils/distributed.py:20-58). On TPU pods jax.distributed.initialize()
+    autodetects coordinator/process_id from the TPU environment; on a single
+    host it is a no-op. Safe to call unconditionally from launchers."""
+    import os
+
+    import jax
+
+    multi_host_env = any(
+        os.environ.get(k)
+        for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                  "MEGASCALE_COORDINATOR_ADDRESS")
+    )
+    if not multi_host_env:
+        return  # single host — nothing to bootstrap
+    try:
+        jax.distributed.initialize()
+    except (ValueError, RuntimeError):
+        pass  # already initialized or coordinator env incomplete
+
+
 def make_mesh(dp: int = -1, tp: int = 1, devices=None) -> Mesh:
     """Build a (dp, tp) mesh. dp=-1 means 'all remaining devices'."""
     devices = list(devices if devices is not None else jax.devices())

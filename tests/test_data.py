@@ -201,3 +201,17 @@ def test_export_invariant_to_batch_size(dataset, tmp_path):
     report = compare_exports(tmp_path / "a", tmp_path / "b")
     assert report["token_exact_match"], report["token_id_parity"]
     assert report["embeddings_all"]["max_abs_err"] < 2e-3
+
+
+def test_text_cache_persistence(kg_files, tokenizer, tmp_path):
+    cfg = DataConfig(text_buckets=(16, 32), node_buckets=(8, 16),
+                     edge_buckets=(16, 64), max_text_length=32)
+    ds = MedCodeDataset(kg_files / "kg.csv", kg_files / "codes.parquet",
+                        tokenizer, cfg=cfg, cache_dir=tmp_path)
+    ids_first = ds.text_ids(3).copy()
+    ds.save_text_cache()
+    assert (tmp_path / "med_code_descriptions.pkl").exists()
+    ds2 = MedCodeDataset(kg_files / "kg.csv", kg_files / "codes.parquet",
+                         tokenizer, cfg=cfg, cache_dir=tmp_path)
+    assert 3 in ds2._text_cache
+    np.testing.assert_array_equal(ds2.text_ids(3), ids_first)
