@@ -137,12 +137,24 @@ class EHRTrainer:
             num_heads=cfg.num_heads, hidden_dim=cfg.hidden_dim,
             num_layers=cfg.num_layers, dropout=cfg.dropout,
         )
-        # Adam + cosine annealing (EHRModel_token.py:566-567)
-        self.tx = optax.chain(optax.scale_by_adam(), optax.scale_by_learning_rate(
-            optax.cosine_decay_schedule(cfg.lr, decay_steps=10, alpha=1e-3 / cfg.lr)
-        ))
+        # Adam + cosine annealing over 10 EPOCHS with eta_min=1e-3 — the
+        # reference's CosineAnnealingLR(T_max=10) stepped per epoch
+        # (EHRModel_token.py:566-567; with the default lr=1e-3 this is a
+        # constant schedule, eta_min == lr). Built lazily in fit() once
+        # steps-per-epoch is known; this is the fallback for direct use.
+        self.tx = self._make_tx(steps_per_epoch=1)
         self._train_step = jax.jit(self._train_step_impl)
         self._eval_step = jax.jit(self._eval_step_impl)
+
+    def _make_tx(self, steps_per_epoch: int) -> optax.GradientTransformation:
+        cfg = self.cfg
+        alpha = min(1e-3 / cfg.lr, 1.0)
+        return optax.chain(
+            optax.scale_by_adam(),
+            optax.scale_by_learning_rate(optax.cosine_decay_schedule(
+                cfg.lr, decay_steps=max(10 * steps_per_epoch, 1), alpha=alpha
+            )),
+        )
 
     def init(self, example: EHRBatch):
         params = self.model.init(
@@ -188,6 +200,10 @@ class EHRTrainer:
     ):
         cfg = self.cfg
         rng_np = np.random.default_rng(cfg.seed)
+        self.tx = self._make_tx(
+            steps_per_epoch=max(len(feats_train) // cfg.batch_size, 1)
+        )
+        self._train_step = jax.jit(self._train_step_impl)
         example = featurizer.collate([feats_train[0]] * min(2, len(feats_train)))
         params, opt_state = self.init(example)
         key = jax.random.PRNGKey(cfg.seed + 2)
