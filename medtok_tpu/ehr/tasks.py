@@ -261,7 +261,10 @@ class PatientEHRTasks:
         cand_idx = [self.mapper.map(d) for d in DRUG_CANDIDATES]
         samples = []
         for i in range(len(rows)):
-            label = [k for k, d in enumerate(cand_idx) if d in rows[i]["drugs"]]
+            # unmapped candidates (-1) must not match the -1s of unmapped
+            # drugs (the reference would IndexError on a missing candidate)
+            label = [k for k, d in enumerate(cand_idx)
+                     if d >= 0 and d in rows[i]["drugs"]]
             if not label:
                 continue
             s = self._sample(patient, rows, i, label)

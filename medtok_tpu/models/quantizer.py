@@ -66,6 +66,12 @@ class SoftVQQuantizer(nn.Module):
                 "usage", "codebook_used",
                 lambda: jnp.zeros((c.usage_buffer_size,), jnp.int32),
             )
+            self.usage_counts = self.variable(
+                "usage", "usage_counts",
+                lambda: vq_ops.usage_counts_init(
+                    c.codebook_size, c.usage_buffer_size
+                ),
+            )
 
     def _tp_axis(self) -> str | None:
         # init traces outside shard_map where mesh axes are unbound
@@ -78,11 +84,13 @@ class SoftVQQuantizer(nn.Module):
             return jnp.asarray(0.0, jnp.float32)
         if self.dp_axis is not None and not self.is_initializing():
             indices = jax.lax.all_gather(indices, self.dp_axis, tiled=True)
-        buf, usage = vq_ops.usage_update(
-            self.codebook_used.value, indices, c.codebook_size
+        buf, counts, usage = vq_ops.usage_update(
+            self.codebook_used.value, self.usage_counts.value, indices,
+            c.codebook_size,
         )
         if not self.is_initializing() and self.is_mutable_collection("usage"):
             self.codebook_used.value = buf
+            self.usage_counts.value = counts
         return usage
 
     def get_shared_info(

@@ -250,20 +250,32 @@ def region_slice(codebook: jax.Array, region: str) -> jax.Array:
 # Codebook usage telemetry (vector_quantization_soft_one_new.py:118, 219-236)
 # ---------------------------------------------------------------------------
 
+def usage_counts_init(n_e: int, buffer_size: int) -> jax.Array:
+    """Multiplicity of each codebook id inside the (all-zeros) FIFO buffer:
+    id 0 appears buffer_size times initially."""
+    return jnp.zeros((n_e,), jnp.int32).at[0].set(buffer_size)
+
+
 def usage_update(
-    buffer: jax.Array, new_indices: jax.Array, n_e: int
-) -> tuple[jax.Array, jax.Array]:
-    """FIFO-shift ``buffer`` by len(new_indices) and append them; return
-    (new_buffer, fraction of codebook present in the buffer).
+    buffer: jax.Array, counts: jax.Array, new_indices: jax.Array, n_e: int
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """FIFO-shift ``buffer`` by len(new_indices), append them, and return
+    (new_buffer, new_counts, fraction of codebook present in the buffer).
 
     The reference computes ``len(torch.unique(buf)) / n_e`` over a 300000-slot
-    int buffer initialized to zeros. ``unique`` is dynamic-shape, so on TPU we
-    count distinct values via a presence scatter — numerically identical.
-    """
+    int buffer initialized to zeros (vq...py:219-236). ``unique`` is
+    dynamic-shape; a presence scatter over the whole buffer is numerically
+    identical but costs a 300K-element serialized TPU scatter per call
+    (measured ~1s each). Instead ``counts`` tracks the multiplicity of every
+    id in the buffer incrementally: evicted head entries decrement, appended
+    entries increment — O(batch*k) updates — and
+    distinct-count == sum(counts > 0)."""
     flat = new_indices.reshape(-1).astype(buffer.dtype)
     cur = flat.shape[0]
+    evicted = jax.lax.dynamic_slice_in_dim(buffer, 0, cur)
     shifted = jnp.roll(buffer, -cur)
     new_buffer = shifted.at[-cur:].set(flat)
-    presence = jnp.zeros((n_e,), jnp.int32).at[new_buffer].set(1, mode="drop")
-    usage = jnp.sum(presence).astype(jnp.float32) / float(n_e)
-    return new_buffer, usage
+    new_counts = counts.at[evicted].add(-1, mode="drop")
+    new_counts = new_counts.at[flat].add(1, mode="drop")
+    usage = jnp.sum(new_counts > 0).astype(jnp.float32) / float(n_e)
+    return new_buffer, new_counts, usage

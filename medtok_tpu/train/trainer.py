@@ -131,18 +131,22 @@ def make_train_step(
     replicated — bitwise identical across devices.
     """
     tx = make_optimizer(cfg)
+    multi_device = mesh.size > 1
 
     def step_fn(state: TrainState, batch: CodeBatch):
         rng = jax.random.fold_in(state.rng, state.step)
         # per-device decorrelated dropout, like per-rank seeds (train_MedTok.py:43)
-        rng = jax.random.fold_in(rng, jax.lax.axis_index(DP_AXIS))
+        rng = jax.random.fold_in(
+            rng, jax.lax.axis_index(DP_AXIS) if multi_device else 0
+        )
 
         grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
         (loss, (metrics, usage)), grads = grad_fn(
             state.params, state.usage, model, batch, rng, cfg
         )
-        grads = jax.lax.pmean(grads, DP_AXIS)
-        metrics = jax.lax.pmean(metrics, DP_AXIS)
+        if multi_device:
+            grads = jax.lax.pmean(grads, DP_AXIS)
+            metrics = jax.lax.pmean(metrics, DP_AXIS)
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -163,6 +167,17 @@ def make_train_step(
         )
         return new_state, metrics
 
+    donate_args = (0,) if donate else ()
+    if not multi_device:
+        # Single-device mesh: plain jit. shard_map's manual-lowering path is
+        # dramatically slower on a single chip through the axon runtime
+        # (measured 9.2s vs 53ms per step) and buys nothing without peers.
+        # The model must then have dp_axis=None (no axis to gather over).
+        assert model.dp_axis is None and model.tp_axis is None, (
+            "single-device train step requires dp_axis=tp_axis=None"
+        )
+        return jax.jit(step_fn, donate_argnums=donate_args)
+
     replicated = P()
     batch_spec = CodeBatch(*([P(DP_AXIS)] * len(CodeBatch._fields)))
 
@@ -173,7 +188,7 @@ def make_train_step(
         out_specs=(replicated, replicated),
         check_vma=False,
     )
-    return jax.jit(sharded, donate_argnums=(0,) if donate else ())
+    return jax.jit(sharded, donate_argnums=donate_args)
 
 
 class Trainer:
@@ -199,8 +214,10 @@ class Trainer:
         if model is None:
             from medtok_tpu.parallel.mesh import TP_AXIS
 
+            multi = self.mesh.size > 1
             model = MultimodalTokenizer(
-                cfg.model, dp_axis=DP_AXIS,
+                cfg.model,
+                dp_axis=DP_AXIS if multi else None,
                 tp_axis=TP_AXIS if tp > 1 else None,
             )
         self.model = model

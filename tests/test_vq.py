@@ -113,15 +113,36 @@ def test_region_slice():
 def test_usage_fifo_matches_torch_unique_semantics():
     n_e = 50
     buf = jnp.zeros((12,), jnp.int32)
+    counts = vq.usage_counts_init(n_e, 12)
     new = jnp.asarray([[3, 7], [7, 9]], jnp.int32)
-    buf2, usage = vq.usage_update(buf, new, n_e)
+    buf2, counts2, usage = vq.usage_update(buf, counts, new, n_e)
     ref = torch.zeros(12, dtype=torch.long)
     flat = torch.tensor([3, 7, 7, 9])
     ref[:-4] = ref[4:].clone()
     ref[-4:] = flat
     np.testing.assert_array_equal(np.asarray(buf2), ref.numpy())
     assert usage == pytest.approx(len(torch.unique(ref)) / n_e)
-    # second update shifts the FIFO
-    buf3, _ = vq.usage_update(buf2, jnp.asarray([[1, 2, 3, 4]], jnp.int32), n_e)
+    # second update shifts the FIFO; counts stay in sync with buffer content
+    buf3, counts3, usage3 = vq.usage_update(
+        buf2, counts2, jnp.asarray([[1, 2, 3, 4]], jnp.int32), n_e
+    )
     assert np.asarray(buf3)[-4:].tolist() == [1, 2, 3, 4]
     assert np.asarray(buf3)[-8:-4].tolist() == [3, 7, 7, 9]
+    bincount = np.bincount(np.asarray(buf3), minlength=n_e)
+    np.testing.assert_array_equal(np.asarray(counts3), bincount)
+    assert usage3 == pytest.approx(len(np.unique(np.asarray(buf3))) / n_e)
+
+
+def test_usage_fifo_long_run_counts_consistent():
+    """After enough updates to wrap the FIFO several times, the incremental
+    counts must still equal the buffer's true histogram."""
+    rng = np.random.default_rng(0)
+    n_e, size = 30, 16
+    buf = jnp.zeros((size,), jnp.int32)
+    counts = vq.usage_counts_init(n_e, size)
+    for _ in range(20):
+        new = jnp.asarray(rng.integers(0, n_e, size=(1, 5)), jnp.int32)
+        buf, counts, usage = vq.usage_update(buf, counts, new, n_e)
+    hist = np.bincount(np.asarray(buf), minlength=n_e)
+    np.testing.assert_array_equal(np.asarray(counts), hist)
+    assert usage == pytest.approx(len(np.unique(np.asarray(buf))) / n_e)
