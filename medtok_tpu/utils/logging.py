@@ -20,6 +20,7 @@ def create_logger(logging_dir: str | Path | None, *, process_index: int = 0) -> 
     """Rank-0 gets file+stream handlers; other ranks a NullHandler."""
     logger = logging.getLogger("medtok_tpu")
     logger.handlers.clear()
+    logger.propagate = False  # avoid duplicate lines via the root logger
     if process_index == 0:
         logger.setLevel(logging.INFO)
         fmt = logging.Formatter("[%(asctime)s] %(message)s", "%Y-%m-%d %H:%M:%S")
