@@ -178,3 +178,42 @@ def test_compute_metrics_binary_and_multi():
     pm = np.clip(ym + rng.normal(0, 0.3, (30, 4)), 0, 1)
     mm = compute_metrics("phenotype", 4, ym, pm)
     assert mm["aupr"] > 0.5
+
+
+def test_mimic4_parser_and_tasks(ehr_env, tmp_path):
+    from medtok_tpu.ehr.parsers import MIMIC4Dataset
+    from medtok_tpu.ehr.synthetic import synthetic_mimic4
+
+    _, mapper, _ = ehr_env
+    codes = [str(c) for c in mapper.df["med_code"]]
+    synthetic_mimic4(tmp_path / "m4", codes, num_patients=15, seed=2)
+    db = MIMIC4Dataset(tmp_path / "m4")
+    assert len(db.patients) == 15
+    p = next(iter(db.patients.values()))
+    # anchor-year birth approximation (mimic4.py:118-125)
+    assert p.birth_datetime.year < 2130
+    assert len(p[0].get_code_list("diagnoses_icd")) >= 1
+    tasks = PatientEHRTasks(db.patients, mapper, dataset="MIMIC_IV")
+    data = tasks.build("readmission")
+    assert data and data[0][0]["label"] in (0, 1)
+
+
+def test_ehrshot_parser_and_tasks(ehr_env, tmp_path):
+    from medtok_tpu.ehr.parsers import EHRShotDataset
+    from medtok_tpu.ehr.synthetic import synthetic_ehrshot
+    from medtok_tpu.ehr.tasks import PatientEHRTasks as T
+
+    _, mapper, _ = ehr_env
+    codes = [str(c) for c in mapper.df["med_code"]]
+    synthetic_ehrshot(tmp_path / "es", codes, num_patients=15, seed=3)
+    db = EHRShotDataset(tmp_path / "es")
+    assert len(db.patients) == 15
+    tasks = T(db.patients, mapper, dataset="EHRShot")
+    # EHRShot mortality: one sample per patient (load_data.py:595-615)
+    data = tasks.build("mortality")
+    assert all(len(d) == 1 for d in data)
+    # EHRShot lenofstay: 2-class bucketing
+    los = tasks.build("lenofstay")
+    if los:
+        labels, num_class = build_labels(los, "lenofstay")
+        assert labels.max() <= 1

@@ -275,3 +275,52 @@ def test_qa_inference_end_to_end():
     )
     assert preds == ["A", "A", "A"]
     assert acc == pytest.approx(1 / 3)
+
+
+def test_load_qa_rows_reference_artifacts():
+    """The two shipped QA datasets must load and pack through our pipeline."""
+    import os
+
+    from medtok_tpu.qa.datasets import load_qa_rows
+
+    path = "/root/reference/Dataset/MedicalQA/medmcqa_dataset.json"
+    if not os.path.exists(path):
+        pytest.skip("reference dataset not mounted")
+    rows = load_qa_rows(path)
+    assert len(rows) == 4183
+    q, a = rows[0]["input"][:2]
+    assert a in "ABCD"
+    assert all(isinstance(c, int) for c in rows[0]["medical_codes"])
+    packed = pack_example([1, 2, 3], [7], rows[0]["medical_codes"], cutoff_len=256)
+    assert len(packed["input_ids"]) == 256 + 4
+
+
+def test_afrimed_loader_from_records(tmp_path):
+    from medtok_tpu.qa.datasets import AfrimedLoader, format_mcq
+
+    records = [
+        {"tier": "expert", "question_type": "mcq",
+         "question_clean": "What is X?",
+         "answer_options": '{"o1": "a", "o2": "b", "o3": "c"}',
+         "correct_answer": "option2"},
+        {"tier": "novice", "question_type": "mcq",
+         "question_clean": "skip me",
+         "answer_options": '{"o1": "a"}', "correct_answer": "option1"},
+        {"tier": "expert", "question_type": "saq",
+         "question_clean": "Explain Y.",
+         "answer_rationale": "Because\nreasons."},
+    ]
+    mcq = AfrimedLoader("AfrimedQA-MCQ", records=records, cache_dir=tmp_path)
+    assert len(mcq) == 1
+    item = mcq[0]
+    assert item["answer"] == "B" and item["answer_index"] == 1
+    assert item["text"] == format_mcq("What is X?", ["a", "b", "c"])
+    # cache round-trip (no records needed second time)
+    mcq2 = AfrimedLoader("AfrimedQA-MCQ", cache_dir=tmp_path)
+    assert mcq2[0] == item
+    saq = AfrimedLoader("AfrimedQA-SAQ", records=records, cache_dir=tmp_path)
+    assert saq[0]["answer"] == "Because reasons."
+    with pytest.raises(KeyError):
+        AfrimedLoader("nope", records=records)
+    with pytest.raises(FileNotFoundError):
+        AfrimedLoader("AfrimedQA-MCQ")
