@@ -124,6 +124,21 @@ class SoftVQQuantizer(nn.Module):
         )
         z_text_n = vq_ops.l2_normalize(z_flat_text.astype(jnp.float32))
         z_graph_n = vq_ops.l2_normalize(z_flat_graph.astype(jnp.float32))
+
+        # optional entropy regularizer input: full-codebook affinity (-d),
+        # materialized only when the ratio is non-zero (train_MedTok.py:373
+        # defaults it to 0.0 and the reference never wires it; this is the
+        # completed path for entropy_loss_ratio > 0)
+        affinity = None
+        if train and c.entropy_loss_ratio > 0:
+            e_n = vq_ops.l2_normalize(self.codebook.astype(jnp.float32))
+            affinity = -jnp.concatenate(
+                [
+                    vq_ops.squared_distance(z_text_n, e_n),
+                    vq_ops.squared_distance(z_graph_n, e_n),
+                ],
+                axis=0,
+            )
         loss_tuple = (
             q_text.vq_loss + q_graph.vq_loss,
             q_text.commit_loss + q_graph.commit_loss,
@@ -135,6 +150,8 @@ class SoftVQQuantizer(nn.Module):
             "shared_graph_tokens": q_graph.indices,
             "shared_graph_tokens_weights": q_graph.weights,
         }
+        if affinity is not None:
+            tokens["shared_affinity"] = affinity
         z_q_cat = jnp.concatenate([q_text.z_q, q_graph.z_q], axis=-1)
         return z_q_cat, loss_tuple, usage, tokens
 

@@ -280,8 +280,11 @@ def generate(
     top_p: float = 0.9,
     eos_token_id: int | None = None,
     rng: jax.Array | None = None,
+    on_token=None,
 ) -> np.ndarray:
-    """Sampled continuation ids [B, max_new_tokens]."""
+    """Sampled continuation ids [B, max_new_tokens]. ``on_token(tok)`` is
+    called per decoded step with the batch's first-row token (streaming;
+    see qa.callbacks)."""
     B, L, H = inputs_embeds.shape
     total = L + max_new_tokens
     cfg = model.cfg
@@ -335,6 +338,8 @@ def generate(
             tok = jnp.where(finished, eos_token_id, tok)
             finished = finished | (tok == eos_token_id)
         out.append(tok)
+        if on_token is not None:
+            on_token(int(tok[0]))
 
         cur_pos = cur_pos + 1
         full_mask = full_mask.at[:, L + step].set(1)

@@ -109,6 +109,7 @@ def assemble_losses(
     *,
     shared_loss_beta: float = 0.1,
     specific_loss_lamb: float = 0.1,
+    entropy_loss_ratio: float = 0.0,
 ) -> LossBreakdown:
     """The exact training objective of train_MedTok.py:215-238, emitting the
     same 20-scalar metric dict logged to wandb (train_MedTok.py:268-290)."""
@@ -135,6 +136,10 @@ def assemble_losses(
     specific_all = (p11 + specific_loss_lamb * p12) + (p21 + specific_loss_lamb * p22)
 
     total = codebook_loss + shared_all + specific_all
+    entropy = jnp.asarray(0.0, jnp.float32)
+    if entropy_loss_ratio > 0 and qr.get("shared_affinity") is not None:
+        entropy = compute_entropy_loss(qr["shared_affinity"])
+        total = total + entropy_loss_ratio * entropy
     metrics = {
         "loss": total,
         "loss_common_all": shared_all,
@@ -154,6 +159,7 @@ def assemble_losses(
         "commit_shared_loss": qr["shared_embed_loss"][1],
         "commit_text_loss": qr["text_specific_loss"][1],
         "commit_graph_loss": qr["graph_specific_loss"][1],
+        "entropy_loss": entropy,
         "codebook_usage_shared": qr["shared_codebook_usage"],
         "codebook_usage_text": qr["text_specific_usage"],
         "codebook_usage_graph": qr["graph_specific_usage"],

@@ -85,6 +85,7 @@ def _loss_fn(params, usage, model, batch, dropout_rng, cfg: MedTokConfig):
         out,
         shared_loss_beta=cfg.train.shared_loss_beta,
         specific_loss_lamb=cfg.train.specific_loss_lamb,
+        entropy_loss_ratio=cfg.model.quantizer.entropy_loss_ratio,
     )
     return breakdown.total, (breakdown.metrics, mutated.get("usage", usage))
 

@@ -324,3 +324,20 @@ def test_afrimed_loader_from_records(tmp_path):
         AfrimedLoader("nope", records=records)
     with pytest.raises(FileNotFoundError):
         AfrimedLoader("AfrimedQA-MCQ")
+
+
+def test_stream_generate(tiny_llm):
+    from medtok_tpu.qa.callbacks import stream_generate
+
+    model, params = tiny_llm
+    rng = np.random.default_rng(9)
+    embeds = jnp.asarray(rng.normal(size=(1, 4, model.cfg.hidden_size)).astype(np.float32))
+    mask = jnp.ones((1, 4), jnp.int32)
+    toks = list(stream_generate(
+        generate, model, params, embeds, mask,
+        max_new_tokens=4, temperature=0.0,
+    ))
+    assert len(toks) == 4
+    # streamed tokens equal the non-streamed run
+    ref = generate(model, params, embeds, mask, max_new_tokens=4, temperature=0.0)
+    assert toks == ref[0].tolist()

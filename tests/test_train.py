@@ -184,3 +184,29 @@ def test_kmeans_init_codebook(train_setup):
     # keep their sampled init (also unit-norm-ish after normalize)
     norms = np.linalg.norm(after, axis=-1)
     assert np.isfinite(norms).all()
+
+
+def test_entropy_loss_wiring(train_setup):
+    """entropy_loss_ratio > 0 materializes the shared affinity and adds the
+    regularizer (completed path; reference defines but never wires it)."""
+    import dataclasses
+
+    from medtok_tpu.config import MedTokConfig, QuantizerConfig, TrainConfig
+    from tests.test_model import tiny_config
+
+    mcfg = tiny_config(entropy_loss_ratio=0.1)
+    cfg = MedTokConfig(model=mcfg, train=TrainConfig(global_batch_size=8))
+    model = MultimodalTokenizer(mcfg)
+    rng = np.random.default_rng(0)
+    batch = jax.tree.map(jnp.asarray, random_code_batch(
+        rng, batch=8, text_len=16, max_nodes=8, max_edges_per_graph=8,
+        text_vocab=1000, num_kg_nodes=500,
+    ))
+    state = create_train_state(cfg, model, batch)
+    from medtok_tpu.parallel.mesh import make_mesh, shard_batch
+
+    mesh = make_mesh(dp=1, tp=1, devices=jax.devices()[:1])
+    step = make_train_step(cfg, model, mesh, donate=False)
+    _, m = step(state, shard_batch(mesh, batch))
+    assert "entropy_loss" in m
+    assert float(m["entropy_loss"]) != 0.0
