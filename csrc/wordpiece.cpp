@@ -1,0 +1,148 @@
+// wordpiece.cpp — native WordPiece tokenizer for the MedTok-TPU data path.
+//
+// Replaces the per-code HF tokenizer call of the reference's dataset
+// (dataset_creator.py:278-282) on the 600K-description sweep. Implements
+// bert-base-uncased BasicTokenizer + WordPiece semantics for ASCII text
+// (lowercase, punctuation split, greedy longest-match with "##"
+// continuations, [CLS]/[SEP] wrap, [UNK] fallback). Texts containing
+// non-ASCII bytes are REJECTED (return -1) so the Python binding can fall
+// back to the full-Unicode implementation — medical code descriptions are
+// overwhelmingly ASCII, so the fast path covers nearly everything.
+//
+// C ABI for ctypes; vocabulary stored in a hash map keyed by token string.
+
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct Vocab {
+  std::unordered_map<std::string, int32_t> map;
+  int32_t unk = -1, cls = -1, sep = -1, pad = -1;
+  int max_chars_per_word = 100;
+};
+
+inline bool is_ascii_punct(unsigned char c) {
+  return (c >= 33 && c <= 47) || (c >= 58 && c <= 64) ||
+         (c >= 91 && c <= 96) || (c >= 123 && c <= 126);
+}
+
+}  // namespace
+
+extern "C" {
+
+// vocab_blob: '\n'-separated token strings, id = line index.
+void* medtok_wp_build(const char* vocab_blob, int64_t blob_len) {
+  auto* v = new Vocab();
+  int32_t id = 0;
+  const char* p = vocab_blob;
+  const char* end = vocab_blob + blob_len;
+  while (p < end) {
+    const char* nl = static_cast<const char*>(memchr(p, '\n', end - p));
+    size_t len = (nl ? nl : end) - p;
+    std::string tok(p, len);
+    if (!tok.empty() && tok.back() == '\r') tok.pop_back();
+    v->map.emplace(tok, id);
+    if (tok == "[UNK]") v->unk = id;
+    else if (tok == "[CLS]") v->cls = id;
+    else if (tok == "[SEP]") v->sep = id;
+    else if (tok == "[PAD]") v->pad = id;
+    id++;
+    p = nl ? nl + 1 : end;
+  }
+  return v;
+}
+
+void medtok_wp_free(void* handle) { delete static_cast<Vocab*>(handle); }
+
+// Encode ASCII text -> ids. Returns the number of ids written (<= max_out,
+// truncated to max_len-1 then [SEP] appended, matching the Python encode),
+// or -1 if the text contains non-ASCII bytes (caller falls back).
+int64_t medtok_wp_encode(const void* handle, const char* text, int64_t text_len,
+                         int32_t* out, int64_t max_len) {
+  const auto* v = static_cast<const Vocab*>(handle);
+  // reject non-ASCII and control chars other than whitespace
+  for (int64_t i = 0; i < text_len; i++) {
+    unsigned char c = text[i];
+    if (c >= 0x80) return -1;
+  }
+
+  std::vector<int32_t> ids;
+  ids.push_back(v->cls);
+
+  // basic-tokenize: lowercase, split on whitespace and punctuation
+  std::vector<std::string> words;
+  std::string cur;
+  auto flush = [&]() {
+    if (!cur.empty()) {
+      words.push_back(cur);
+      cur.clear();
+    }
+  };
+  for (int64_t i = 0; i < text_len; i++) {
+    unsigned char c = text[i];
+    if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c < 0x20 ||
+        c == 0x7f) {
+      flush();
+    } else if (is_ascii_punct(c)) {
+      flush();
+      words.emplace_back(1, static_cast<char>(c));
+    } else {
+      cur.push_back(static_cast<char>(
+          (c >= 'A' && c <= 'Z') ? c - 'A' + 'a' : c));
+    }
+  }
+  flush();
+
+  // wordpiece greedy longest-match-first
+  std::string sub;
+  for (const auto& w : words) {
+    if (static_cast<int>(w.size()) > v->max_chars_per_word) {
+      ids.push_back(v->unk);
+      continue;
+    }
+    size_t start = 0;
+    std::vector<int32_t> piece_ids;
+    bool ok = true;
+    while (start < w.size()) {
+      size_t stop = w.size();
+      int32_t found = -1;
+      while (start < stop) {
+        sub.clear();
+        if (start > 0) sub = "##";
+        sub.append(w, start, stop - start);
+        auto it = v->map.find(sub);
+        if (it != v->map.end()) {
+          found = it->second;
+          break;
+        }
+        stop--;
+      }
+      if (found < 0) {
+        ok = false;
+        break;
+      }
+      piece_ids.push_back(found);
+      start = stop;
+    }
+    if (ok) {
+      ids.insert(ids.end(), piece_ids.begin(), piece_ids.end());
+    } else {
+      ids.push_back(v->unk);
+    }
+  }
+
+  // truncate to max_len-1 then append [SEP] (Python encode semantics)
+  if (static_cast<int64_t>(ids.size()) > max_len - 1) {
+    ids.resize(max_len - 1);
+  }
+  ids.push_back(v->sep);
+  int64_t n = static_cast<int64_t>(ids.size());
+  memcpy(out, ids.data(), n * sizeof(int32_t));
+  return n;
+}
+
+}  // extern "C"

@@ -95,6 +95,19 @@ class MedCodeDataset:
                 )
         except Exception:
             self.native = None
+        # native WordPiece (csrc/wordpiece.cpp, ~8x over Python on ASCII;
+        # identical output — non-ASCII texts fall back internally)
+        self._encoder = tokenizer
+        try:
+            from medtok_tpu.data.native_text import (
+                NativeWordPiece,
+                native_text_available,
+            )
+
+            if native_text_available():
+                self._encoder = NativeWordPiece(tokenizer)
+        except Exception:
+            pass
 
     def __len__(self) -> int:
         return len(self.df)
@@ -124,7 +137,7 @@ class MedCodeDataset:
 
     def text_ids(self, idx: int) -> np.ndarray:
         if idx not in self._text_cache:
-            ids, _ = self.tokenizer.encode(
+            ids, _ = self._encoder.encode(
                 str(self.df.iloc[idx]["desc"]), max_length=self.cfg.max_text_length
             )
             self._text_cache[idx] = ids
@@ -185,7 +198,7 @@ class MedCodeDataset:
     def __getitem__(self, idx: int) -> CodeSample:
         row = self.df.iloc[idx]
         if idx not in self._text_cache:
-            ids, _ = self.tokenizer.encode(
+            ids, _ = self._encoder.encode(
                 str(row["desc"]), max_length=self.cfg.max_text_length
             )
             self._text_cache[idx] = ids

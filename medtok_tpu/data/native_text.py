@@ -1,0 +1,102 @@
+"""ctypes binding for the native WordPiece tokenizer (csrc/wordpiece.cpp).
+
+NativeWordPiece wraps a WordPieceTokenizer vocabulary: ASCII texts encode in
+C++ (the 600K-description sweep's hot path); any text the native side
+rejects (non-ASCII) transparently falls back to the Python implementation,
+so results are always identical to data.text.WordPieceTokenizer.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+from medtok_tpu.data.text import WordPieceTokenizer
+
+_CSRC = Path(__file__).resolve().parents[2] / "csrc"
+_LIB_PATH = _CSRC / "libmedtok_wordpiece.so"
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    src = _CSRC / "wordpiece.cpp"
+    if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < src.stat().st_mtime:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+             str(src), "-o", str(_LIB_PATH)],
+            check=True, capture_output=True,
+        )
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    lib.medtok_wp_build.restype = ctypes.c_void_p
+    lib.medtok_wp_build.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+    lib.medtok_wp_free.argtypes = [ctypes.c_void_p]
+    lib.medtok_wp_encode.restype = ctypes.c_int64
+    lib.medtok_wp_encode.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+    ]
+    _lib = lib
+    return lib
+
+
+def native_text_available() -> bool:
+    try:
+        _load()
+        return True
+    except (OSError, subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+class NativeWordPiece:
+    """Drop-in encode() accelerator over a WordPieceTokenizer vocab."""
+
+    def __init__(self, tokenizer: WordPieceTokenizer):
+        self.py = tokenizer
+        lib = _load()
+        # id -> token, rebuilt as a '\n'-joined blob in id order
+        inv = sorted(tokenizer.vocab.items(), key=lambda kv: kv[1])
+        blob = "\n".join(tok for tok, _ in inv).encode("utf-8")
+        self._lib = lib
+        self._handle = lib.medtok_wp_build(blob, len(blob))
+
+    def __del__(self):
+        if getattr(self, "_handle", None):
+            self._lib.medtok_wp_free(self._handle)
+            self._handle = None
+
+    def encode(
+        self, text: str, *, max_length: int = 512, pad_to_max: bool = False
+    ) -> tuple[np.ndarray, np.ndarray]:
+        try:
+            raw = text.encode("ascii")
+        except UnicodeEncodeError:
+            return self.py.encode(text, max_length=max_length, pad_to_max=pad_to_max)
+        out = np.empty(max_length, np.int32)
+        n = self._lib.medtok_wp_encode(
+            self._handle, raw, len(raw),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), max_length,
+        )
+        if n < 0:  # native rejected -> python fallback
+            return self.py.encode(text, max_length=max_length, pad_to_max=pad_to_max)
+        ids = out[:n].copy()
+        mask = np.ones(n, np.int32)
+        if pad_to_max:
+            pad = max_length - n
+            ids = np.concatenate([ids, np.full(pad, self.py.pad_id, np.int32)])
+            mask = np.concatenate([mask, np.zeros(pad, np.int32)])
+        return ids, mask
+
+    # delegate the token-id surface the dataset uses
+    @property
+    def pad_id(self) -> int:
+        return self.py.pad_id
+
+    @property
+    def vocab(self) -> dict:
+        return self.py.vocab

@@ -105,3 +105,52 @@ def test_make_batch_native_matches_numpy_fallback(tmp_path):
         sl = set(zip(slow.edge_src[i*Epg:(i+1)*Epg][slow.edge_weight[i*Epg:(i+1)*Epg] > 0].tolist(),
                      slow.edge_dst[i*Epg:(i+1)*Epg][slow.edge_weight[i*Epg:(i+1)*Epg] > 0].tolist()))
         assert fa == sl
+
+
+def test_native_wordpiece_matches_python():
+    from medtok_tpu.data.native_text import NativeWordPiece, native_text_available
+    from medtok_tpu.data.text import WordPieceTokenizer, make_test_vocab
+
+    if not native_text_available():
+        pytest.skip("no C++ toolchain")
+    tok = WordPieceTokenizer(make_test_vocab(
+        ["diabetes", "mellitus", "acute", "fracture", "di", "##abetes",
+         "frac", "##ture", "type", "ii"]
+    ))
+    fast = NativeWordPiece(tok)
+    rng = np.random.default_rng(0)
+    words = ["diabetes", "mellitus", "acute", "fracture", "type", "ii",
+             "e11.9", "a,b", "UNKNOWNWORD", "x9", "...", "a-b-c", ""]
+    for _ in range(200):
+        text = " ".join(rng.choice(words, size=int(rng.integers(1, 12))))
+        for ml, pad in ((32, False), (8, True)):
+            ref_ids, ref_mask = tok.encode(text, max_length=ml, pad_to_max=pad)
+            got_ids, got_mask = fast.encode(text, max_length=ml, pad_to_max=pad)
+            np.testing.assert_array_equal(got_ids, ref_ids, err_msg=text)
+            np.testing.assert_array_equal(got_mask, ref_mask, err_msg=text)
+    # non-ASCII falls back to python (identical results)
+    ids_a, _ = fast.encode("café au lait")
+    ids_b, _ = tok.encode("café au lait")
+    np.testing.assert_array_equal(ids_a, ids_b)
+
+
+def test_native_wordpiece_speed_sanity():
+    import time
+
+    from medtok_tpu.data.native_text import NativeWordPiece, native_text_available
+    from medtok_tpu.data.text import WordPieceTokenizer, make_test_vocab
+
+    if not native_text_available():
+        pytest.skip("no C++ toolchain")
+    tok = WordPieceTokenizer(make_test_vocab(["diabetes", "mellitus", "acute"]))
+    fast = NativeWordPiece(tok)
+    texts = [f"diabetes mellitus type {i} acute complication" for i in range(2000)]
+    t0 = time.perf_counter()
+    for t in texts:
+        tok.encode(t)
+    t_py = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for t in texts:
+        fast.encode(t)
+    t_c = time.perf_counter() - t0
+    assert t_c < t_py  # native must not be slower
