@@ -69,3 +69,13 @@ class MedTok:
     def embed(self, med_code: str) -> np.ndarray:
         """[256] quantized embedding (cat of the 4 paths, tokenizer.py:246)."""
         return np.asarray(self._run(med_code).embedding[0])
+
+    def tokenize_batch(self, med_codes: list[str]) -> TokenizedCodes:
+        """Batched variant: (embeddings [N,256], tokens [N,4,k], weights)."""
+        idxs = [self.dataset.lookup(c) for c in med_codes]
+        batch = self.dataset.make_batch(idxs)
+        out = self._step(batch)
+        return TokenizedCodes(
+            np.asarray(out.embedding), np.asarray(out.tokens),
+            np.asarray(out.weights),
+        )

@@ -215,3 +215,24 @@ def test_text_cache_persistence(kg_files, tokenizer, tmp_path):
                          tokenizer, cfg=cfg, cache_dir=tmp_path)
     assert 3 in ds2._text_cache
     np.testing.assert_array_equal(ds2.text_ids(3), ids_first)
+
+
+def test_api_tokenize_batch(dataset):
+    from tests.test_model import tiny_config
+    from medtok_tpu.api import MedTok
+    from medtok_tpu.config import MedTokConfig
+    from medtok_tpu.models.tokenizer_model import MultimodalTokenizer
+
+    mcfg = tiny_config()
+    model = MultimodalTokenizer(mcfg)
+    batch = collate([dataset[0]], dataset.cfg, pad_id=dataset.tokenizer.pad_id)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jax.tree.map(jnp.asarray, batch), train=False,
+    )
+    tok = MedTok(MedTokConfig(model=mcfg), variables["params"],
+                 variables["usage"], dataset)
+    codes = [dataset.code_at(i) for i in (3, 7, 11)]
+    out = tok.tokenize_batch(codes)
+    assert out.embedding.shape == (3, mcfg.embedding_dim)
+    np.testing.assert_array_equal(out.tokens[1], tok.tokenize(codes[1]))
