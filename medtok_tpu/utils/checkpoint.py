@@ -17,6 +17,7 @@ from typing import Any
 
 import jax
 import orbax.checkpoint as ocp
+from jax.numpy import asarray as jnp_asarray
 
 
 class CheckpointManager:
@@ -62,7 +63,14 @@ class CheckpointManager:
         restored = self._ckpt.restore(
             path.absolute(), item=jax.device_get(target)
         )
-        return restored
+        # orbax yields host numpy arrays; hand back jax arrays so downstream
+        # in-place .at[] updates (e.g. the usage counts) work
+        import numpy as np
+
+        return jax.tree.map(
+            lambda x: jnp_asarray(x) if isinstance(x, np.ndarray) else x,
+            restored,
+        )
 
     @staticmethod
     def load_config(workdir: str | Path):
