@@ -21,10 +21,19 @@ from jax.numpy import asarray as jnp_asarray
 
 
 class CheckpointManager:
-    def __init__(self, workdir: str | Path, *, max_to_keep: int = 2, config=None):
+    def __init__(
+        self, workdir: str | Path, *, max_to_keep: int = 2, config=None,
+        mirror_dir: str | Path | None = None,
+    ):
+        """``mirror_dir``: secondary location every checkpoint is copied to,
+        un-rotated — the reference's cloud-path copy (train_MedTok.py:330-332,
+        where local checkpoints rotate but the cloud copy keeps all)."""
         self.workdir = Path(workdir)
         self.ckpt_dir = self.workdir / "checkpoints"
         self.ckpt_dir.mkdir(parents=True, exist_ok=True)
+        self.mirror_dir = Path(mirror_dir) if mirror_dir is not None else None
+        if self.mirror_dir is not None:
+            self.mirror_dir.mkdir(parents=True, exist_ok=True)
         self._ckpt = ocp.PyTreeCheckpointer()
         if config is not None:
             cfg_path = self.workdir / "args.json"
@@ -44,9 +53,15 @@ class CheckpointManager:
 
     def save(self, state: Any) -> Path:
         step = int(jax.device_get(state.step))
+        host_state = jax.device_get(state)
         path = self.ckpt_dir / f"{step:07d}"
-        self._ckpt.save(path.absolute(), jax.device_get(state), force=True)
-        # rotate (train_MedTok.py:320-328)
+        self._ckpt.save(path.absolute(), host_state, force=True)
+        if self.mirror_dir is not None:
+            self._ckpt.save(
+                (self.mirror_dir / f"{step:07d}").absolute(), host_state,
+                force=True,
+            )
+        # rotate the LOCAL copies only (train_MedTok.py:320-328)
         dirs = self._step_dirs()
         while len(dirs) > self.max_to_keep:
             oldest = dirs.pop(0)

@@ -101,3 +101,43 @@ def test_step_timer():
     s = t.summary()
     assert s["steps_per_sec"] > 0
     assert s["step_ms_p50"] >= 0
+
+
+def test_checkpoint_mirror_dir(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    from flax import struct
+
+    from medtok_tpu.utils.checkpoint import CheckpointManager
+
+    class S(struct.PyTreeNode):
+        step: jax.Array
+        w: jax.Array
+
+    mgr = CheckpointManager(tmp_path / "work", max_to_keep=1,
+                            mirror_dir=tmp_path / "cloud")
+    for i in (1, 2, 3):
+        mgr.save(S(step=jnp.asarray(i * 100), w=jnp.ones(4) * i))
+    local = sorted(p.name for p in (tmp_path / "work" / "checkpoints").iterdir())
+    mirror = sorted(p.name for p in (tmp_path / "cloud").iterdir())
+    assert local == ["0000300"]          # rotated
+    assert mirror == ["0000100", "0000200", "0000300"]  # kept (cloud contract)
+    restored = mgr.restore(S(step=jnp.asarray(0), w=jnp.zeros(4)))
+    assert int(restored.step) == 300
+    # restored leaves are jax arrays (usage .at[] compatibility)
+    assert isinstance(restored.w, jax.Array)
+
+
+def test_code_maps(tmp_path):
+    import json
+
+    from medtok_tpu.ehr.code_maps import load_code_map, to_atc_level
+
+    (tmp_path / "m.json").write_text(json.dumps({"00093": "J01XA01"}))
+    assert load_code_map(tmp_path / "m.json") == {"00093": "J01XA01"}
+    (tmp_path / "m.csv").write_text("ndc,atc\n00093,J01XA01\n0007,B01AB01\n")
+    m = load_code_map(tmp_path / "m.csv")
+    assert m["0007"] == "B01AB01"
+    assert to_atc_level("J01XA01", 5) == "J01XA01"
+    assert to_atc_level("J01XA01", 3) == "J01X"
+    assert to_atc_level("J01XA01", 1) == "J"
