@@ -79,3 +79,46 @@ class MedTok:
             np.asarray(out.embedding), np.asarray(out.tokens),
             np.asarray(out.weights),
         )
+
+
+class PretrainedMedTok:
+    """Artifact-only API: serve tokenize/encode/embed from the exported
+    .npy files — no model weights or KG needed. This is how most reference
+    users consume MedTok (README.md:56: download embeddings, drop into
+    'MedTok/embedding.npy'); the code->row mapping comes from the same
+    all_codes_mappings.parquet vocabulary.
+    """
+
+    def __init__(
+        self,
+        export_dir: str | Path,
+        med_codes_pkg_map_path: str | Path,
+    ):
+        export_dir = Path(export_dir)
+        self.embeddings = np.load(export_dir / "embeddings_all.npy")
+        tok_path = export_dir / "tokens_all.npy"
+        self.tokens = np.load(tok_path) if tok_path.exists() else None
+        w_path = export_dir / "weights_all.npy"
+        self.weights = np.load(w_path) if w_path.exists() else None
+
+        import pandas as pd
+
+        df = pd.read_parquet(med_codes_pkg_map_path, columns=["med_code"])
+        self._index: dict[str, int] = {}
+        for i, c in enumerate(df["med_code"].astype(str)):
+            self._index.setdefault(c, i)
+
+    def lookup(self, med_code: str) -> int:
+        if med_code not in self._index:
+            raise KeyError(f"unknown medical code {med_code!r}")
+        return self._index[med_code]
+
+    def embed(self, med_code: str) -> np.ndarray:
+        return self.embeddings[self.lookup(med_code)]
+
+    def tokenize(self, med_code: str) -> np.ndarray:
+        assert self.tokens is not None, "tokens_all.npy not exported"
+        return self.tokens[self.lookup(med_code)]
+
+    def encode(self, med_code: str) -> np.ndarray:
+        return self.tokenize(med_code).reshape(-1)

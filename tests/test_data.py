@@ -236,3 +236,21 @@ def test_api_tokenize_batch(dataset):
     out = tok.tokenize_batch(codes)
     assert out.embedding.shape == (3, mcfg.embedding_dim)
     np.testing.assert_array_equal(out.tokens[1], tok.tokenize(codes[1]))
+
+
+def test_pretrained_artifact_api(dataset, tmp_path, kg_files):
+    from medtok_tpu.api import PretrainedMedTok
+
+    rng = np.random.default_rng(0)
+    n = len(dataset)
+    np.save(tmp_path / "embeddings_all.npy",
+            rng.normal(size=(n, 256)).astype(np.float32))
+    np.save(tmp_path / "tokens_all.npy",
+            rng.integers(0, 100, size=(n, 4, 5)).astype(np.int32))
+    api = PretrainedMedTok(tmp_path, kg_files / "codes.parquet")
+    code = dataset.code_at(9)
+    np.testing.assert_array_equal(api.embed(code), api.embeddings[9])
+    np.testing.assert_array_equal(api.tokenize(code), api.tokens[9])
+    assert api.encode(code).shape == (20,)
+    with pytest.raises(KeyError):
+        api.embed("NOPE")
