@@ -156,3 +156,46 @@ def test_global_mean_pool_masked():
     out = global_mean_pool(x, mask)
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray((x[0, 0] + x[0, 1]) / 2))
     np.testing.assert_allclose(np.asarray(out[1]), np.asarray(x[1, 0]))
+
+
+def test_gat_conv_properties():
+    """GATConv: shapes, head concat, self-loop inclusion, padded-edge
+    isolation (the reference's GAT path is broken by an import shadow at
+    tokenizer.py:3; this is the working PyG-semantics version)."""
+    from medtok_tpu.models.layers import GATConv
+
+    rng = np.random.default_rng(0)
+    n, din, dout, H = 5, 4, 3, 2
+    x = jnp.asarray(rng.normal(size=(n, din)).astype(np.float32))
+    src = jnp.asarray([0, 1, 2, 0, 0], jnp.int32)   # last 2 padded
+    dst = jnp.asarray([1, 0, 3, 0, 0], jnp.int32)
+    w = jnp.asarray([1.0, 1.0, 1.0, 0.0, 0.0])
+    mod = GATConv(dout, num_heads=H, concat_heads=True)
+    params = mod.init(jax.random.PRNGKey(0), x, src, dst, w)
+    out = mod.apply(params, x, src, dst, w)
+    assert out.shape == (n, H * dout)
+    # node 4 has ONLY its self-loop: output must equal its own projection
+    p = params["params"]
+    xw = (np.asarray(x) @ np.asarray(p["lin"]["kernel"])).reshape(n, H, dout)
+    expected4 = xw[4].reshape(-1) + np.asarray(p["bias"])
+    np.testing.assert_allclose(np.asarray(out[4]), expected4, rtol=1e-5)
+    # padded edges must not change results
+    out2 = mod.apply(params, x, src[:3], dst[:3], w[:3])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), rtol=1e-5)
+
+
+def test_gat_graph_encoder_forward():
+    from medtok_tpu.config import GraphEncoderConfig
+    from medtok_tpu.models.graph_encoder import GraphEncoder
+
+    cfg = GraphEncoderConfig(model_name="GAT", num_nodes=100, in_channels=8,
+                             hidden_channels=6, out_channels=4, gat_num_heads=2)
+    enc = GraphEncoder(cfg)
+    node_ids = jnp.asarray(np.arange(12).reshape(2, 6), jnp.int32)
+    src = jnp.asarray([0, 1, 0, 0], jnp.int32)
+    dst = jnp.asarray([1, 2, 0, 0], jnp.int32)
+    w = jnp.asarray([1.0, 1.0, 0.0, 0.0])
+    params = enc.init(jax.random.PRNGKey(0), node_ids, src, dst, w)
+    hidden = enc.apply(params, node_ids, src, dst, w)
+    assert hidden[-1].shape == (2, 6, 4)  # heads=1 on the output layer
+    assert np.isfinite(np.asarray(hidden[-1])).all()

@@ -133,3 +133,30 @@ def test_tokens_invariant_to_batch_order(model_and_batch):
     np.testing.assert_array_equal(
         np.asarray(out_p.tokens), np.asarray(out.tokens)[perm]
     )
+
+
+def test_text_dropout_in_train_augmentation():
+    """text_dropout_in_train=True restores the reference's dropout-as-
+    augmentation (tokenizer.py:148-152, 211-212): the aug view differs and
+    training still descends-compatibly (finite losses)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(tiny_config(), text_dropout_in_train=True)
+    model = MultimodalTokenizer(cfg)
+    rng = np.random.default_rng(3)
+    batch = jax.tree.map(jnp.asarray, random_code_batch(
+        rng, batch=4, text_len=16, max_nodes=8, max_edges_per_graph=8,
+        text_vocab=1000, num_kg_nodes=500,
+    ))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, train=True,
+    )
+    out, _ = model.apply(
+        variables, batch, train=True,
+        rngs={"dropout": jax.random.PRNGKey(5)}, mutable=["usage"],
+    )
+    spec = np.asarray(out["specific_embedding_text"])
+    spec_aug = np.asarray(out["specific_embedding_text_aug"])
+    assert not np.allclose(spec, spec_aug)  # dropout noise differentiates views
+    assert np.isfinite(float(out["shared_embed_loss"][0]))
