@@ -15,7 +15,7 @@ dispatching batch i+1 before collecting batch i.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Iterable
+
 
 import jax
 import numpy as np

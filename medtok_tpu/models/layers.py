@@ -19,7 +19,7 @@ masked to -inf before the softmax and padded queries are discarded downstream.
 
 from __future__ import annotations
 
-import dataclasses
+
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ the base LLM is frozen (optax.masked). Data: JSON rows
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Iterator
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ EMA (utils/ema.py:4-22), codebook-usage FIFO threaded as explicit state.
 
 from __future__ import annotations
 
-import functools
+
 import time
 from typing import Any, Callable
 

@@ -141,3 +141,20 @@ def test_code_maps(tmp_path):
     assert to_atc_level("J01XA01", 5) == "J01XA01"
     assert to_atc_level("J01XA01", 3) == "J01X"
     assert to_atc_level("J01XA01", 1) == "J"
+
+
+def test_profiler_trace_writes_files(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from medtok_tpu.utils.profiling import annotate, trace
+
+    @jax.jit
+    def f(x):
+        return jnp.sum(x * 2)
+
+    with trace(tmp_path):
+        with annotate("step"):
+            float(f(jnp.ones(128)))
+    files = list(tmp_path.rglob("*"))
+    assert any(p.is_file() for p in files), "no trace artifacts written"
