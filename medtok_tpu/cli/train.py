@@ -66,6 +66,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--multihost", action="store_true",
                    help="bootstrap jax.distributed for TPU pod slices")
+    p.add_argument("--workdir", type=str, default=None,
+                   help="reuse an existing experiment dir and RESUME from its "
+                        "latest checkpoint (the reference's --vq-ckpt resume, "
+                        "train_MedTok.py:135-174); default: new timestamped dir")
     return p
 
 
@@ -140,8 +144,16 @@ def main(argv=None) -> None:
     from medtok_tpu.train.trainer import Trainer
     from medtok_tpu.utils.logging import MetricsLogger, create_logger
 
-    time_record = time.strftime("%Y-%m-%d-%H-%M-%S")
-    workdir = Path(args.results_dir) / f"{time_record}-{args.graph_model_name}"
+    if args.workdir:
+        workdir = Path(args.workdir)
+        from medtok_tpu.utils.checkpoint import CheckpointManager
+
+        if (workdir / "args.json").exists():
+            # config-freezing contract: the stored config wins on resume
+            cfg = CheckpointManager.load_config(workdir)
+    else:
+        time_record = time.strftime("%Y-%m-%d-%H-%M-%S")
+        workdir = Path(args.results_dir) / f"{time_record}-{args.graph_model_name}"
     logger = create_logger(workdir, process_index=jax.process_index())
     logger.info(f"Experiment directory created at {workdir}")
     logger.info(f"devices: {jax.devices()}")
