@@ -69,3 +69,21 @@ def shard_batch(mesh: Mesh, batch):
     """
     sh = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def shard_host_local_batch(mesh: Mesh, local_batch):
+    """Multi-host batch assembly: each process contributes its LOCAL shard of
+    the global batch (every leaf's leading dim is the per-process share —
+    this holds for the flat edge arrays too, since B and B*Epg both split
+    evenly); leaves become global jax.Arrays sharded over dp via
+    jax.make_array_from_process_local_data. Single-process: shard_batch."""
+    if jax.process_count() == 1:
+        return shard_batch(mesh, local_batch)
+    sh = batch_sharding(mesh)
+
+    def globalize(x):
+        local = np.asarray(x)
+        global_shape = (local.shape[0] * jax.process_count(), *local.shape[1:])
+        return jax.make_array_from_process_local_data(sh, local, global_shape)
+
+    return jax.tree.map(globalize, local_batch)
