@@ -74,7 +74,11 @@ def test_two_process_train_step_matches_single_process(tmp_path):
     script = tmp_path / "worker.py"
     script.write_text(WORKER.replace("@REPO@", repo).replace("@TESTS@", tests))
 
-    port = "29631"
+    import socket
+
+    with socket.socket() as sock:  # grab a free port for the coordinator
+        sock.bind(("127.0.0.1", 0))
+        port = str(sock.getsockname()[1])
     env = {**__import__("os").environ}
     env.pop("XLA_FLAGS", None)  # workers configure their own device count
     procs = [
