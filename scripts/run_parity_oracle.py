@@ -1,0 +1,150 @@
+"""Production-scale reference-oracle parity sweep.
+
+Runs the installed PyTorch reference VectorQuantizer
+(/root/reference/MedTok/vector_quantization_soft_one_new.py:90-271) and the
+rebuild's SoftVQQuantizer with IDENTICAL converted weights at the production
+codebook size (21000x64, k=5) over many random batches, and writes a per-path
+token-ID parity report (export/parity.py layout) to docs/PARITY_REPORT.json.
+
+Usage: python scripts/run_parity_oracle.py [--samples 2048] [--out docs/PARITY_REPORT.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import torch  # noqa: E402
+
+from medtok_tpu.config import QuantizerConfig  # noqa: E402
+from medtok_tpu.models.quantizer import SoftVQQuantizer  # noqa: E402
+from medtok_tpu.models.torch_oracle import (  # noqa: E402
+    convert_torch_quantizer,
+    load_reference_vq_module,
+)
+
+N_E, E_DIM, K = 21000, 64, 5
+B, LT, LN = 64, 24, 16
+PATHS = ("text_specific", "graph_specific", "shared_text", "shared_graph")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--samples", type=int, default=2048)
+    ap.add_argument("--out", default="docs/PARITY_REPORT.json")
+    args = ap.parse_args()
+
+    mod = load_reference_vq_module()
+    torch.manual_seed(0)
+    vq = mod.VectorQuantizer(
+        n_e=N_E, e_dim=E_DIM, beta=0.25, entropy_loss_ratio=0.0, l2_norm=True,
+        show_usage=True, split=[64, 64], kmeans=False, num_head=4, k=K,
+    )
+    vq.eval()
+
+    cfg = QuantizerConfig(codebook_size=N_E, codebook_embed_dim=E_DIM, top_k=K)
+    model = SoftVQQuantizer(cfg)
+    params = convert_torch_quantizer(vq.state_dict())
+
+    @jax.jit
+    def flax_step(z, text, graph, tmask, nmask):
+        out, _ = model.apply(
+            {"params": params}, z, text, graph, tmask, nmask, None,
+            train=False, mutable=["usage"],
+        )
+        return out
+
+    rng = np.random.default_rng(0)
+    n_batches = (args.samples + B - 1) // B
+    mismatch = {p: 0 for p in PATHS}
+    emb_max_err = 0.0
+    t0 = time.perf_counter()
+    for bi in range(n_batches):
+        text_len = rng.integers(2, LT + 1, size=B)
+        node_cnt = rng.integers(1, LN + 1, size=B)
+        text = rng.standard_normal((B, LT, E_DIM)).astype(np.float32)
+        graph = rng.standard_normal((B, LN, E_DIM)).astype(np.float32)
+        tmask = np.arange(LT)[None, :] < text_len[:, None]
+        nmask = np.arange(LN)[None, :] < node_cnt[:, None]
+        graph[~nmask] = 0.0
+        z = rng.standard_normal((B, 128)).astype(np.float32)
+
+        # torch side: flat nodes + batch vector; capture topk via patching
+        flat = np.concatenate([graph[i, : node_cnt[i]] for i in range(B)])
+        bvec = np.concatenate([np.full(node_cnt[i], i, np.int64) for i in range(B)])
+        calls = []
+        orig_topk = torch.topk
+
+        def rec_topk(*a, **k):
+            out = orig_topk(*a, **k)
+            calls.append(out.indices.numpy().copy())
+            return out
+
+        torch.topk = rec_topk
+        try:
+            with torch.no_grad():
+                t_out = vq(
+                    torch.from_numpy(z), torch.from_numpy(text),
+                    torch.from_numpy(flat),
+                    torch.from_numpy(tmask.astype(np.int64)),
+                    torch.from_numpy(bvec), None,
+                )
+        finally:
+            torch.topk = orig_topk
+        t_idx = {  # call order: shared_text, shared_graph, text, graph
+            "shared_text": calls[0], "shared_graph": calls[1],
+            "text_specific": calls[2], "graph_specific": calls[3],
+        }
+
+        f_out = jax.tree.map(np.asarray, flax_step(
+            jnp.asarray(z), jnp.asarray(text), jnp.asarray(graph),
+            jnp.asarray(tmask), jnp.asarray(nmask),
+        ))
+        f_idx = {
+            "shared_text": f_out["shared_text_tokens"],
+            "shared_graph": f_out["shared_graph_tokens"],
+            "text_specific": f_out["text_tokens"],
+            "graph_specific": f_out["graph_tokens"],
+        }
+        for p in PATHS:
+            mismatch[p] += int(np.any(t_idx[p] != f_idx[p], axis=-1).sum())
+        for tk, fk in [
+            ("shared_text_embedding", "shared_text_embedding"),
+            ("shared_graph_embedding", "shared_graph_embedding"),
+            ("specific_embedding_text", "specific_embedding_text"),
+            ("specific_embedding_graph", "specific_embedding_graph"),
+        ]:
+            emb_max_err = max(emb_max_err, float(np.max(np.abs(
+                t_out[tk].numpy() - f_out[fk]
+            ))))
+
+    n = n_batches * B
+    report = {
+        "oracle": "torch reference VectorQuantizer, converted weights",
+        "codebook": [N_E, E_DIM], "top_k": K, "num_codes": n,
+        "token_id_parity": {
+            p: {"mismatched_codes": mismatch[p],
+                "row_mismatch_rate": mismatch[p] / n}
+            for p in PATHS
+        },
+        "token_exact_match": all(v == 0 for v in mismatch.values()),
+        "embedding_max_abs_err": emb_max_err,
+        "wall_s": round(time.perf_counter() - t0, 1),
+    }
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps(report, indent=2) + "\n")
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()
