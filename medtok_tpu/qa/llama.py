@@ -250,11 +250,13 @@ def convert_hf_llama(state_dict: dict, cfg: LlamaConfig) -> dict:
         p[f"layers_{i}"] = {
             "input_layernorm": arr(f"{hf}.input_layernorm.weight"),
             "post_attention_layernorm": arr(f"{hf}.post_attention_layernorm.weight"),
+            # LlamaAttention uses LoraDense for ALL projections (rank 0 when
+            # untargeted), so the base kernel always lives under "base"
             "self_attn": {
-                "q_proj": lin(f"{hf}.self_attn.q_proj", "q_proj" in cfg.lora_targets or cfg.lora_rank > 0),
-                "k_proj": lin(f"{hf}.self_attn.k_proj", cfg.lora_rank > 0 and "k_proj" in cfg.lora_targets),
-                "v_proj": lin(f"{hf}.self_attn.v_proj", cfg.lora_rank > 0 and "v_proj" in cfg.lora_targets),
-                "o_proj": lin(f"{hf}.self_attn.o_proj", cfg.lora_rank > 0 and "o_proj" in cfg.lora_targets),
+                "q_proj": lin(f"{hf}.self_attn.q_proj", lora=True),
+                "k_proj": lin(f"{hf}.self_attn.k_proj", lora=True),
+                "v_proj": lin(f"{hf}.self_attn.v_proj", lora=True),
+                "o_proj": lin(f"{hf}.self_attn.o_proj", lora=True),
             },
             "mlp": {
                 "gate_proj": lin(f"{hf}.mlp.gate_proj"),
