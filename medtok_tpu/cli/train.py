@@ -66,6 +66,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--multihost", action="store_true",
                    help="bootstrap jax.distributed for TPU pod slices")
+    p.add_argument("--edge-dropout-p", type=float, default=0.1,
+                   help="graph-augmentation edge dropout "
+                        "(dataset_creator.py:155-170)")
     p.add_argument("--workdir", type=str, default=None,
                    help="reuse an existing experiment dir and RESUME from its "
                         "latest checkpoint (the reference's --vq-ckpt resume, "
@@ -112,6 +115,7 @@ def config_from_args(args) -> "MedTokConfig":
             kg_path=args.kg_path,
             med_codes_pkg_map_path=args.med_codes_pkg_map_path,
             text_vocab_path=args.text_vocab,
+            edge_dropout_p=args.edge_dropout_p,
         ),
         train=TrainConfig(
             epochs=args.epochs, lr=args.lr, beta1=args.beta1, beta2=args.beta2,
@@ -165,7 +169,10 @@ def main(argv=None) -> None:
     )
     logger.info(f"Dataset contains {len(dataset):,} medical codes")
 
-    metrics_logger = MetricsLogger(workdir, use_wandb=args.wandb, config=cfg)
+    metrics_logger = MetricsLogger(
+        workdir if jax.process_index() == 0 else None,
+        use_wandb=args.wandb and jax.process_index() == 0, config=cfg,
+    )
     trainer = Trainer(
         cfg, workdir=str(workdir),
         log_fn=lambda step, m: (
@@ -182,6 +189,8 @@ def main(argv=None) -> None:
     example = next(iter(epoch_batches(
         dataset, batch_size=cfg.train.global_batch_size,
         seed=cfg.train.global_seed, epoch=0,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
     )))
     state = trainer.init_state(example)
     if args.bert_checkpoint:
@@ -203,6 +212,8 @@ def main(argv=None) -> None:
         batches = epoch_batches(
             dataset, batch_size=cfg.train.global_batch_size,
             seed=cfg.train.global_seed, epoch=epoch,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
         )
         state = trainer.fit(state, batches, max_steps=args.max_steps)
         if args.max_steps is not None and int(state.step) >= args.max_steps:

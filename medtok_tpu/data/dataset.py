@@ -143,39 +143,71 @@ class MedCodeDataset:
             self._text_cache[idx] = ids
         return self._text_cache[idx]
 
-    def make_batch(
-        self, indices: Sequence[int], *, aug_seed: int | None = None
-    ) -> CodeBatch:
-        """Fast path: build a CodeBatch directly via the native packer
-        (extraction + padding + edge dropout in C++). Falls back to the
-        per-sample numpy path when the native library is unavailable."""
-        if self.native is None:
-            rng = (np.random.default_rng(aug_seed)
-                   if aug_seed is not None else None)
-            return collate([self[int(i)] for i in indices], self.cfg, rng=rng,
-                           pad_id=self.tokenizer.pad_id)
-
-        texts = [self.text_ids(int(i)) for i in indices]
-        nodes = [self.node_list(int(i)) for i in indices]
-        Lt = _pick_bucket(self.cfg.text_buckets, max(len(t) for t in texts))
-        max_n = max(len(n) for n in nodes)
+    def batch_shapes(self, indices: Sequence[int]) -> tuple[int, int, int]:
+        """(Lt, Ln, Epg) buckets a batch of these codes needs. Used by the
+        multi-host driver to fix the GLOBAL batch shape on every process
+        (SPMD requires all processes to compile/run identical programs, so
+        bucket choice must not depend on process-local rows)."""
+        Lt = _pick_bucket(
+            self.cfg.text_buckets,
+            max(len(self.text_ids(int(i))) for i in indices),
+        )
+        max_n = max(len(self.node_list(int(i))) for i in indices)
         bucket_i = next(
             (bi for bi, b in enumerate(self.cfg.node_buckets) if max_n <= b),
             len(self.cfg.node_buckets) - 1,
         )
         Ln = self.cfg.node_buckets[bucket_i]
         Epg = self.cfg.edge_buckets[min(bucket_i, len(self.cfg.edge_buckets) - 1)]
+        return Lt, Ln, Epg
+
+    def make_batch(
+        self,
+        indices: Sequence[int],
+        *,
+        aug_seed: int | None = None,
+        force_shapes: tuple[int, int, int] | None = None,
+    ) -> CodeBatch:
+        """Fast path: build a CodeBatch directly via the native packer
+        (extraction + padding + edge dropout in C++). Falls back to the
+        per-sample numpy path when the native library is unavailable.
+
+        ``force_shapes=(Lt, Ln, Epg)`` pins the padded shapes (multi-host:
+        every process must produce the same global shape; edges beyond Epg
+        are truncated rather than grown)."""
+        if self.native is None:
+            rng = (np.random.default_rng(aug_seed)
+                   if aug_seed is not None else None)
+            return collate([self[int(i)] for i in indices], self.cfg, rng=rng,
+                           pad_id=self.tokenizer.pad_id, shapes=force_shapes)
+
+        texts = [self.text_ids(int(i)) for i in indices]
+        nodes = [self.node_list(int(i)) for i in indices]
         p = self.cfg.edge_dropout_p if aug_seed is not None else 0.0
-        packed = self.native.pack_batch(
-            nodes, ln=Ln, epg=Epg, dropout_p=p, seed=aug_seed or 0
-        )
-        # grow the edge bucket if any sample's edges got truncated
-        while packed["truncated"] and bucket_i < len(self.cfg.edge_buckets) - 1:
-            bucket_i += 1
-            Epg = self.cfg.edge_buckets[bucket_i]
+        if force_shapes is not None:
+            Lt, Ln, Epg = force_shapes
             packed = self.native.pack_batch(
                 nodes, ln=Ln, epg=Epg, dropout_p=p, seed=aug_seed or 0
             )
+        else:
+            Lt = _pick_bucket(self.cfg.text_buckets, max(len(t) for t in texts))
+            max_n = max(len(n) for n in nodes)
+            bucket_i = next(
+                (bi for bi, b in enumerate(self.cfg.node_buckets) if max_n <= b),
+                len(self.cfg.node_buckets) - 1,
+            )
+            Ln = self.cfg.node_buckets[bucket_i]
+            Epg = self.cfg.edge_buckets[min(bucket_i, len(self.cfg.edge_buckets) - 1)]
+            packed = self.native.pack_batch(
+                nodes, ln=Ln, epg=Epg, dropout_p=p, seed=aug_seed or 0
+            )
+            # grow the edge bucket if any sample's edges got truncated
+            while packed["truncated"] and bucket_i < len(self.cfg.edge_buckets) - 1:
+                bucket_i += 1
+                Epg = self.cfg.edge_buckets[bucket_i]
+                packed = self.native.pack_batch(
+                    nodes, ln=Ln, epg=Epg, dropout_p=p, seed=aug_seed or 0
+                )
 
         B = len(indices)
         input_ids = np.full((B, Lt), self.tokenizer.pad_id, np.int32)
@@ -220,6 +252,7 @@ def collate(
     *,
     rng: np.random.Generator | None = None,
     pad_id: int = 0,
+    shapes: tuple[int, int, int] | None = None,
 ) -> CodeBatch:
     """Pad a list of samples into one static-shape CodeBatch.
 
@@ -227,11 +260,15 @@ def collate(
     (train path); otherwise it equals the clean copy (eval path).
     Oversize graphs are truncated to the largest bucket (counted, not
     silently: see CodeBatch.node_mask sums vs sample node counts).
+    ``shapes`` pins (Lt, Ln, Epg) instead of bucket-fitting this batch.
     """
     B = len(samples)
-    Lt = _pick_bucket(cfg.text_buckets, max(len(s.input_ids) for s in samples))
-    Ln = _pick_bucket(cfg.node_buckets, max(len(s.nodes) for s in samples))
-    Epg = _pick_bucket(cfg.edge_buckets, max(len(s.edge_src) for s in samples))
+    if shapes is not None:
+        Lt, Ln, Epg = shapes
+    else:
+        Lt = _pick_bucket(cfg.text_buckets, max(len(s.input_ids) for s in samples))
+        Ln = _pick_bucket(cfg.node_buckets, max(len(s.nodes) for s in samples))
+        Epg = _pick_bucket(cfg.edge_buckets, max(len(s.edge_src) for s in samples))
 
     input_ids = np.full((B, Lt), pad_id, np.int32)
     attention_mask = np.zeros((B, Lt), np.int32)
@@ -294,16 +331,43 @@ def epoch_batches(
     shuffle: bool = True,
     drop_last: bool = True,
     augment: bool = True,
+    process_index: int = 0,
+    process_count: int = 1,
 ) -> Iterator[CodeBatch]:
     """Shuffled epoch iterator (DistributedSampler-equivalent: deterministic
     per (seed, epoch) permutation, train_MedTok.py:115-121, drop_last=True
-    at :129)."""
+    at :129).
+
+    Multi-host (``process_count > 1``): ``batch_size`` stays the GLOBAL batch;
+    every process walks the same permutation and yields its contiguous
+    1/process_count block of each global batch (the rank-shard contract of
+    utils/distributed.py:20-58 + DistributedSampler — torch interleaves
+    indices[rank::world] while this uses contiguous blocks, which makes the
+    multi-host global batch bitwise-equal to the single-host dp-sharded one).
+    Padded shapes are computed from the GLOBAL batch so all processes compile
+    and run the same program. Edge-dropout seeds fold in the process index
+    (per-rank seeds, train_MedTok.py:43).
+    """
     n = len(dataset)
+    assert batch_size % process_count == 0, (
+        f"global batch {batch_size} not divisible by {process_count} processes"
+    )
+    local_bs = batch_size // process_count
     order = np.arange(n)
     if shuffle:
         np.random.default_rng(seed + epoch).shuffle(order)
     stop = n - (n % batch_size) if drop_last else n
     for bi, start in enumerate(range(0, stop, batch_size)):
         idxs = order[start:start + batch_size]
-        aug_seed = ((seed + 1) * 1_000_003 + epoch * 65_537 + bi) if augment else None
-        yield dataset.make_batch([int(i) for i in idxs], aug_seed=aug_seed)
+        aug_seed = (
+            ((seed + 1) * 1_000_003 + epoch * 65_537 + bi) * process_count
+            + process_index
+        ) if augment else None
+        if process_count == 1:
+            yield dataset.make_batch([int(i) for i in idxs], aug_seed=aug_seed)
+        else:
+            shapes = dataset.batch_shapes([int(i) for i in idxs])
+            local = idxs[process_index * local_bs:(process_index + 1) * local_bs]
+            yield dataset.make_batch(
+                [int(i) for i in local], aug_seed=aug_seed, force_shapes=shapes
+            )

@@ -28,15 +28,21 @@ def initialize_distributed() -> None:
 
     import jax
 
-    multi_host_env = any(
-        os.environ.get(k)
-        for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
-                  "MEGASCALE_COORDINATOR_ADDRESS")
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "COORDINATOR_ADDRESS"
     )
-    if not multi_host_env:
+    if not coord and not os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
         return  # single host — nothing to bootstrap
+    # explicit process topology (CPU/test pods); TPU pods autodetect
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
     try:
-        jax.distributed.initialize()
+        if coord and nproc is not None and pid is not None:
+            jax.distributed.initialize(
+                coord, num_processes=int(nproc), process_id=int(pid)
+            )
+        else:
+            jax.distributed.initialize()
     except (ValueError, RuntimeError):
         pass  # already initialized or coordinator env incomplete
 

@@ -241,8 +241,14 @@ class Trainer:
         return state
 
     def fit(self, state: TrainState, batches, *, max_steps: int | None = None):
-        """Run over an iterable of host CodeBatches; returns final state."""
-        from medtok_tpu.parallel.mesh import shard_batch
+        """Run over an iterable of host CodeBatches; returns final state.
+
+        Batches are HOST-LOCAL: on a multi-host pod each process feeds its
+        rank shard of the global batch (epoch_batches(process_index=...)) and
+        shard_host_local_batch assembles the global dp-sharded array — the
+        DistributedSampler + DDP contract (train_MedTok.py:115-121). On a
+        single host this degenerates to shard_batch."""
+        from medtok_tpu.parallel.mesh import shard_host_local_batch
 
         t = self.cfg.train
         log_t0 = time.time()
@@ -252,7 +258,7 @@ class Trainer:
             step = int(state.step)
             if max_steps is not None and step >= max_steps:
                 break
-            batch = shard_batch(self.mesh, batch)
+            batch = shard_host_local_batch(self.mesh, batch)
             state, metrics = self.step_fn(state, batch)
             log_steps += 1
             if (step + 1) % t.log_every == 0:

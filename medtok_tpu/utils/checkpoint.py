@@ -35,7 +35,7 @@ class CheckpointManager:
         if self.mirror_dir is not None:
             self.mirror_dir.mkdir(parents=True, exist_ok=True)
         self._ckpt = ocp.PyTreeCheckpointer()
-        if config is not None:
+        if config is not None and jax.process_index() == 0:
             cfg_path = self.workdir / "args.json"
             if not cfg_path.exists():
                 cfg_path.write_text(config.to_json())
@@ -53,21 +53,26 @@ class CheckpointManager:
 
     def save(self, state: Any) -> Path:
         step = int(jax.device_get(state.step))
-        host_state = jax.device_get(state)
         path = self.ckpt_dir / f"{step:07d}"
+        host_state = jax.device_get(state)
+        # ALL processes must call orbax save — it writes from the primary host
+        # and synchronizes the others internally (rank-gating the call would
+        # deadlock rank 0 in orbax's barrier); the reference's rank-0-only
+        # torch.save + dist.barrier (train_MedTok.py:300-333) maps onto this
         self._ckpt.save(path.absolute(), host_state, force=True)
         if self.mirror_dir is not None:
             self._ckpt.save(
                 (self.mirror_dir / f"{step:07d}").absolute(), host_state,
                 force=True,
             )
-        # rotate the LOCAL copies only (train_MedTok.py:320-328)
-        dirs = self._step_dirs()
-        while len(dirs) > self.max_to_keep:
-            oldest = dirs.pop(0)
-            import shutil
+        # rotate the LOCAL copies only (train_MedTok.py:320-328), from rank 0
+        if jax.process_index() == 0:
+            dirs = self._step_dirs()
+            while len(dirs) > self.max_to_keep:
+                oldest = dirs.pop(0)
+                import shutil
 
-            shutil.rmtree(oldest)
+                shutil.rmtree(oldest)
         return path
 
     def restore(self, target: Any, step: int | None = None) -> Any:

@@ -14,12 +14,15 @@ import os
 
 def apply_platform_env() -> None:
     want = os.environ.get("JAX_PLATFORMS")
-    if not want:
+    ndev = os.environ.get("JAX_NUM_CPU_DEVICES")
+    if not want and not ndev:
         return
     import jax
 
     try:
-        if jax.config.jax_platforms != want:
+        if want and jax.config.jax_platforms != want:
             jax.config.update("jax_platforms", want)
+        if ndev:  # per-process CPU device count (multi-host CPU test pods)
+            jax.config.update("jax_num_cpu_devices", int(ndev))
     except RuntimeError:
         pass  # backends already initialized; too late to switch
