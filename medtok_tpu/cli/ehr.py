@@ -41,6 +41,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-medical-code", type=int, default=2000)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--save-result-path", type=str, default="task_results")
+    p.add_argument("--mesh-dp", type=int, default=-1,
+                   help="data-parallel devices for the train step; -1 = all "
+                        "visible (the reference trains Lightning DDP over "
+                        "every GPU, MedTok_EHR.py:230). Falls back to 1 when "
+                        "batch size does not divide.")
     return p
 
 
@@ -99,7 +104,19 @@ def main(argv=None) -> None:
         max_visits=args.max_visits, max_medical_code=args.max_medical_code,
         seed=args.seed,
     )
-    trainer = EHRTrainer(cfg, table, num_class)
+    import jax
+
+    from medtok_tpu.parallel.mesh import make_mesh
+
+    ndev = len(jax.devices())
+    dp = ndev if args.mesh_dp == -1 else args.mesh_dp
+    if args.batch_size % max(dp, 1) != 0:
+        dp = 1
+    mesh = make_mesh(dp=dp, tp=1) if dp > 1 else None
+    if mesh is not None:
+        logger.info(f"dp-sharding the train step over {dp} devices")
+
+    trainer = EHRTrainer(cfg, table, num_class, mesh=mesh)
     val_batches = [
         fz.collate([feats[i] for i in va[s:s + args.batch_size]])
         for s in range(0, max(len(va) - args.batch_size + 1, 1), args.batch_size)
@@ -115,6 +132,23 @@ def main(argv=None) -> None:
     ]
     test = trainer.evaluate(params, test_batches)
     logger.info(f"Test: {test}")
+
+    # persist the best model + metrics (the reference saves model.pth and
+    # reports test results, MedTok_EHR.py:235-238)
+    import json
+
+    out = Path(args.save_result_path)
+    out.mkdir(parents=True, exist_ok=True)
+    import orbax.checkpoint as ocp
+
+    ocp.PyTreeCheckpointer().save(
+        (out / "best_model").absolute(), jax.device_get(params), force=True
+    )
+    (out / "test_metrics.json").write_text(
+        json.dumps({"task": args.task, "dataset": args.dataset,
+                    "best_val": best, "test": test}, indent=2) + "\n"
+    )
+    logger.info(f"Saved best model + metrics under {out}")
 
 
 if __name__ == "__main__":

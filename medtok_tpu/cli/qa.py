@@ -27,9 +27,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data", type=str, required=True)
     p.add_argument("--embedding-path", type=str, required=True)
     p.add_argument("--llama-checkpoint", type=str, default=None)
+    p.add_argument("--tokenizer-json", type=str, default=None,
+                   help="HF tokenizer.json (Llama byte-level BPE); loaded by "
+                        "the first-party qa.tokenizer.BPETokenizer — required "
+                        "for real (non --tiny) runs")
     p.add_argument("--adapter-path", type=str, default="llama_lora_finetune")
     p.add_argument("--tiny", action="store_true",
                    help="random tiny LLM (offline smoke mode)")
+    p.add_argument("--mesh-dp", type=int, default=1,
+                   help="data-parallel axis for the finetune step")
+    p.add_argument("--mesh-tp", type=int, default=1,
+                   help="tensor-parallel axis sharding the frozen LLM "
+                        "(8B bf16 does not fit one v5e chip)")
     p.add_argument("--lora-r", type=int, default=16)
     p.add_argument("--lora-alpha", type=float, default=32)
     p.add_argument("--cutoff-len", type=int, default=256)
@@ -74,6 +83,7 @@ def main(argv=None) -> None:
         lora_rank=args.lora_r, lora_alpha=args.lora_alpha,
         cutoff_len=args.cutoff_len, total_len=total_len,
         lr=args.lr, batch_size=args.batch_size, epochs=args.epochs,
+        mesh_dp=args.mesh_dp, mesh_tp=args.mesh_tp,
     )
     ft = QAFinetuner(llm_cfg, embeddings, cfg)
 
@@ -86,17 +96,40 @@ def main(argv=None) -> None:
         llm_params = convert_hf_llama(sd, ft.llm_cfg)
     params = ft.init_params(llm_params)
 
-    def encode(text):
-        return _simple_tokenize(text, llm_cfg.vocab_size)
+    # the real tokenizer + Llama-3 chat template; the hash stub stays only
+    # for --tiny runs without a tokenizer file (random vocab anyway)
+    tokenizer = None
+    if args.tokenizer_json:
+        from medtok_tpu.qa.tokenizer import BPETokenizer
+
+        tokenizer = BPETokenizer.from_file(args.tokenizer_json)
+        chat_template = tokenizer.chat_template_fn
+        eos_id = tokenizer.eos_token_id
+        encode = tokenizer.encode
+        decode = lambda ids: tokenizer.decode(ids, skip_special_tokens=True)
+    elif args.tiny:
+        chat_template, eos_id = None, None
+        encode = lambda text: _simple_tokenize(text, llm_cfg.vocab_size)
+        decode = lambda ids: " ".join(str(i) for i in ids)
+    else:
+        raise SystemExit(
+            "--tokenizer-json is required for non --tiny runs "
+            "(the 128K-token Llama vocab cannot be faked)"
+        )
 
     packed, labels = [], []
     for r in rows_json:
         q, a = r["input"][0], r["input"][1]
-        prompt_ids = encode(build_prompt(q))
-        answer_ids = encode(str(a)) if args.mode == "finetune" else []
+        prompt = build_prompt(q, chat_template=chat_template)
+        if args.mode == "finetune" and chat_template is not None:
+            prompt += f"\n{a}"  # MedTok_fintune_llama3.py:128-131
+            prompt_ids, answer_ids = encode(prompt), []
+        else:
+            prompt_ids = encode(prompt)
+            answer_ids = encode(str(a)) if args.mode == "finetune" else []
         packed.append(pack_example(
             prompt_ids, answer_ids, r["medical_codes"],
-            cutoff_len=args.cutoff_len,
+            cutoff_len=args.cutoff_len, eos_token_id=eos_id,
         ))
         labels.append(str(a))
 
@@ -119,7 +152,7 @@ def main(argv=None) -> None:
     else:
         acc, preds = evaluate_qa(
             ft, params, packed, labels,
-            decode_fn=lambda ids: " ".join(str(i) for i in ids),
+            decode_fn=decode,
             max_new_tokens=args.max_new_tokens,
             temperature=args.temperature, top_p=args.top_p,
             batch_size=args.batch_size,

@@ -71,6 +71,8 @@ class MedCodeDataset:
         self.tokenizer = tokenizer
         self._text_cache: dict[int, np.ndarray] = {}
         self._graph_cache: dict[int, tuple] = {}
+        self._node_lists: list[np.ndarray] | None = None  # warm_cache()
+        self._code_index: dict[str, int] | None = None  # lookup()
         # tokenized-description cache file (the reference pickles
         # med_code_descriptions.pkl once, dataset_creator.py:213-229)
         self._cache_file = (
@@ -116,11 +118,33 @@ class MedCodeDataset:
         return str(self.df.iloc[idx]["med_code"])
 
     def lookup(self, med_code: str) -> int:
-        """Row index of a code string (the tokenize/encode/embed API entry)."""
-        matches = self.df.index[self.df["med_code"] == med_code]
-        if len(matches) == 0:
-            raise KeyError(f"unknown medical code {med_code!r}")
-        return int(matches[0])
+        """Row index of a code string (the tokenize/encode/embed API entry).
+        O(1): a code->row dict is built on first use (a full-column scan per
+        call would cost ~600K comparisons on the real vocab)."""
+        if self._code_index is None:
+            self._code_index = {
+                str(c): i for i, c in enumerate(self.df["med_code"].to_numpy())
+            }
+        try:
+            return self._code_index[med_code]
+        except KeyError:
+            raise KeyError(f"unknown medical code {med_code!r}") from None
+
+    def warm_cache(self, *, tokenize: bool = True) -> None:
+        """Bulk-materialize per-code node lists (single dataframe pass instead
+        of one iloc per sample) and optionally tokenize every description —
+        the host half of the full-vocab export sweep."""
+        values = self.df["pkg_index_list"].to_numpy()
+        self._node_lists = [
+            np.sort(np.asarray(list(v), np.int64)) for v in values
+        ]
+        if tokenize:
+            enc = self._encoder
+            max_len = self.cfg.max_text_length
+            cache = self._text_cache
+            for i, d in enumerate(self.df["desc"].to_numpy()):
+                if i not in cache:
+                    cache[i] = enc.encode(str(d), max_length=max_len)[0]
 
     def save_text_cache(self) -> None:
         """Persist the tokenized descriptions (call after a full pass)."""
@@ -133,6 +157,8 @@ class MedCodeDataset:
             pickle.dump(self._text_cache, f)
 
     def node_list(self, idx: int) -> np.ndarray:
+        if self._node_lists is not None:
+            return self._node_lists[idx]
         return np.sort(np.asarray(list(self.df.iloc[idx]["pkg_index_list"]), np.int64))
 
     def text_ids(self, idx: int) -> np.ndarray:

@@ -120,3 +120,91 @@ def synthetic_code_vocab(
             {"med_code": f"C{i:05d}", "desc": desc, "pkg_index_list": nodes}
         )
     pd.DataFrame(rows).to_parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# North-star-scale generators (vectorized; 600K codes in ~15s)
+# ---------------------------------------------------------------------------
+
+MEDICAL_WORDS = [
+    "diabetes", "mellitus", "acute", "chronic", "infection", "fracture",
+    "hypertension", "renal", "cardiac", "therapy", "syndrome", "disorder",
+    "unspecified", "type", "without", "with", "complications", "disease",
+    "malignant", "neoplasm", "left", "right", "injury", "of", "the", "and",
+    "due", "to", "encounter", "screening", "examination", "failure",
+    "obstruction", "bilateral", "initial", "subsequent", "sequela",
+    "poisoning", "adverse", "effect", "tablet", "oral", "solution",
+    "personal", "history", "body", "region", "severe", "moderate", "mild",
+]
+
+# Rare-term building blocks: real medical descriptions WordPiece-split into a
+# FEW subwords (bert-base covers medical morphemes), not into single chars.
+# Synthetic rare words are 2-3 syllable compounds; the bench vocab carries
+# each syllable + its '##'-continuation so they tokenize to 2-3 pieces.
+SYLLABLES = [
+    "card", "neph", "gastr", "hepat", "derm", "pulmon", "arthr", "oste",
+    "cyt", "hemo", "lymph", "scler", "fibro", "myel", "neur", "angi",
+    "bronch", "cephal", "chondr", "colo", "encephal", "gloss", "myo",
+    "phleb", "pleur", "rhin", "thromb", "vasc",
+    "itis", "osis", "emia", "oma", "pathy", "ectomy", "plasty", "scopy",
+    "gram", "logy", "lysis", "trophy", "algia", "penia", "rrhea", "stasis",
+]
+
+
+def synthetic_vocab_frame(
+    rng: np.random.Generator,
+    *,
+    num_codes: int,
+    num_kg_nodes: int = 130_000,
+    extra_words: int = 200,
+    max_pkg_nodes: int = 16,
+):
+    """all_codes_mappings.parquet-schema frame at arbitrary scale
+    (med_code / desc / pkg_index_list; dataset_creator.py:179, 252-255).
+
+    Descriptions draw from a medical word pool plus random letter strings
+    (those WordPiece-split into subwords like real rare terms); lengths are
+    lognormal with mean ~7 words, matching typical ICD/ATC descriptions.
+    """
+    import pandas as pd
+
+    syl = np.array(SYLLABLES)
+    extra = [
+        "".join(rng.choice(syl, size=int(n)))
+        for n in rng.integers(2, 4, size=extra_words)
+    ]
+    pool = np.array(MEDICAL_WORDS + extra)
+
+    lens = np.clip(rng.lognormal(1.9, 0.5, num_codes).astype(np.int64), 2, 40)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    widx = rng.integers(0, len(pool), size=int(offs[-1]))
+    descs = [" ".join(pool[widx[offs[i]:offs[i + 1]]]) for i in range(num_codes)]
+
+    sizes = np.clip(rng.geometric(0.25, num_codes), 1, max_pkg_nodes)
+    starts = rng.integers(0, max(num_kg_nodes - max_pkg_nodes, 1), num_codes)
+    # contiguous node runs with a random stride: unique, sorted, cheap to draw
+    strides = rng.integers(1, 5, num_codes)
+    pkg = [
+        (starts[i] + strides[i] * np.arange(sizes[i])) % num_kg_nodes
+        for i in range(num_codes)
+    ]
+    return pd.DataFrame({
+        "med_code": [f"C{i:06d}" for i in range(num_codes)],
+        "desc": descs,
+        "pkg_index_list": pkg,
+    })
+
+
+def synthetic_kg(
+    rng: np.random.Generator, *, num_nodes: int = 130_000,
+    num_edges: int = 4_000_000, num_relations: int = 20,
+):
+    """A PrimeKG-scale KnowledgeGraph built directly from arrays (writing an
+    8M-row kg.csv just to re-read it would dominate bench setup)."""
+    from medtok_tpu.data.kg import KnowledgeGraph
+
+    src = rng.integers(0, num_nodes, num_edges)
+    dst = rng.integers(0, num_nodes, num_edges)
+    rel = rng.integers(0, num_relations, num_edges).astype(np.int32)
+    vocab = {f"rel_{i}": i for i in range(num_relations)}
+    return KnowledgeGraph(src, dst, rel, vocab, num_nodes)

@@ -126,10 +126,20 @@ class EHRTrainConfig:
 
 
 class EHRTrainer:
+    """``mesh``: optional jax.sharding.Mesh with a 'dp' axis — the train step
+    then runs under shard_map with the batch sharded over devices and
+    pmean'd loss/grads, the XLA/ICI equivalent of the reference's Lightning
+    'ddp_find_unused_parameters_true' over all GPUs (MedTok_EHR.py:230)."""
+
     def __init__(self, cfg: EHRTrainConfig, embedding_table: np.ndarray,
-                 num_class: int):
+                 num_class: int, mesh=None):
         self.cfg = cfg
         self.num_class = num_class
+        if mesh is not None and mesh.size > 1:
+            assert cfg.batch_size % mesh.size == 0, (
+                f"batch_size {cfg.batch_size} not divisible by {mesh.size} devices"
+            )
+        self.mesh = mesh
         self.model = EHRModel(
             embedding_table=jnp.asarray(embedding_table, jnp.float32),
             num_class=num_class,
@@ -137,24 +147,66 @@ class EHRTrainer:
             num_heads=cfg.num_heads, hidden_dim=cfg.hidden_dim,
             num_layers=cfg.num_layers, dropout=cfg.dropout,
         )
-        # Adam + cosine annealing over 10 EPOCHS with eta_min=1e-3 — the
-        # reference's CosineAnnealingLR(T_max=10) stepped per epoch
-        # (EHRModel_token.py:566-567; with the default lr=1e-3 this is a
-        # constant schedule, eta_min == lr). Built lazily in fit() once
-        # steps-per-epoch is known; this is the fallback for direct use.
         self.tx = self._make_tx(steps_per_epoch=1)
-        self._train_step = jax.jit(self._train_step_impl)
+        self._train_step = self._build_train_step()
         self._eval_step = jax.jit(self._eval_step_impl)
 
     def _make_tx(self, steps_per_epoch: int) -> optax.GradientTransformation:
+        """Adam + torch CosineAnnealingLR(T_max=10, eta_min=1e-3) parity,
+        stepped per EPOCH (EHRModel_token.py:563-564 via Lightning's default
+        per-epoch scheduler interval). torch's closed form
+        lr_t = eta_min + (lr0-eta_min)*(1+cos(pi*epoch/T_max))/2 is PERIODIC
+        (rises back after T_max) — not a monotonic decay."""
         cfg = self.cfg
-        alpha = min(1e-3 / cfg.lr, 1.0)
+        eta_min, t_max = 1e-3, 10.0
+        spe = max(steps_per_epoch, 1)
+
+        def sched(step):
+            epoch = step // spe
+            return eta_min + (cfg.lr - eta_min) * 0.5 * (
+                1.0 + jnp.cos(jnp.pi * epoch / t_max)
+            )
+
+        self._lr_schedule = sched  # exposed for tests / logging
         return optax.chain(
             optax.scale_by_adam(),
-            optax.scale_by_learning_rate(optax.cosine_decay_schedule(
-                cfg.lr, decay_steps=max(10 * steps_per_epoch, 1), alpha=alpha
-            )),
+            optax.scale_by_learning_rate(sched),
         )
+
+    def _build_train_step(self):
+        if self.mesh is None or self.mesh.size == 1:
+            return jax.jit(self._train_step_impl)
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from medtok_tpu.parallel.mesh import DP_AXIS
+
+        rep = P()
+        bspec = EHRBatch(*([P(DP_AXIS)] * len(EHRBatch._fields)))
+
+        def step(params, opt_state, batch, rng):
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(DP_AXIS))
+
+            def loss_fn(p):
+                _, logits = self.model.apply(
+                    {"params": p}, batch, train=True, rngs={"dropout": rng}
+                )
+                return task_loss(self.cfg.task, logits, batch.label_onehot), logits
+
+            (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            grads = jax.lax.pmean(grads, DP_AXIS)
+            loss = jax.lax.pmean(loss, DP_AXIS)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, task_probs(self.cfg.task, logits)
+
+        sharded = shard_map(
+            step, mesh=self.mesh,
+            in_specs=(rep, rep, bspec, rep),
+            out_specs=(rep, rep, rep, P(DP_AXIS)),
+            check_vma=False,
+        )
+        return jax.jit(sharded)
 
     def init(self, example: EHRBatch):
         params = self.model.init(
@@ -203,7 +255,7 @@ class EHRTrainer:
         self.tx = self._make_tx(
             steps_per_epoch=max(len(feats_train) // cfg.batch_size, 1)
         )
-        self._train_step = jax.jit(self._train_step_impl)
+        self._train_step = self._build_train_step()
         example = featurizer.collate([feats_train[0]] * min(2, len(feats_train)))
         params, opt_state = self.init(example)
         key = jax.random.PRNGKey(cfg.seed + 2)
@@ -211,6 +263,7 @@ class EHRTrainer:
         best = {"aupr": -1.0}
         best_params = params
         patience = 0
+        loss = jnp.asarray(float("nan"))  # no train batch yet (tiny datasets)
         for epoch in range(cfg.epochs):
             for batch in weighted_batches(
                 feats_train, weights_train, featurizer,

@@ -31,6 +31,10 @@ class QAFinetuneConfig:
     batch_size: int = 16
     epochs: int = 1
     seed: int = 0
+    # mesh: dp shards the batch, tp shards the frozen LLM Megatron-style
+    # (qa.sharding; 8B bf16 does not fit one v5e chip). 1x1 = single device.
+    mesh_dp: int = 1
+    mesh_tp: int = 1
 
 
 class QAFinetuner:
@@ -58,6 +62,13 @@ class QAFinetuner:
                 lambda m: "train" if m else "freeze", self.trainable_mask(params)
             ),
         )
+        self.mesh = None
+        if cfg.mesh_dp * cfg.mesh_tp > 1:
+            from medtok_tpu.parallel.mesh import make_mesh
+            from medtok_tpu.qa.sharding import check_divisibility
+
+            check_divisibility(self.llm_cfg, cfg.mesh_tp)
+            self.mesh = make_mesh(dp=cfg.mesh_dp, tp=cfg.mesh_tp)
         self._step = jax.jit(self._step_impl)
 
     # trainability mask: LoRA + projector only (MedTok_fintune_llama3.py:241-246)
@@ -87,7 +98,23 @@ class QAFinetuner:
             ),
             self.cfg.total_len,
         )["params"]
-        return {"llm": merged, "soft_prompt": sp}
+        params = {"llm": merged, "soft_prompt": sp}
+        if self.mesh is not None:
+            from medtok_tpu.qa.sharding import shard_qa_params
+
+            params = shard_qa_params(params, self.mesh)
+        return params
+
+    def shard_batch(self, batch: dict) -> dict:
+        """Batch axis over dp, replicated over tp."""
+        if self.mesh is None:
+            return batch
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from medtok_tpu.parallel.mesh import DP_AXIS
+
+        sh = NamedSharding(self.mesh, P(DP_AXIS))
+        return {k: jax.device_put(np.asarray(v), sh) for k, v in batch.items()}
 
     def loss_fn(self, params, batch, train=True):
         llm_p, sp_p = params["llm"], params["soft_prompt"]
@@ -137,7 +164,9 @@ class QAFinetuner:
                     [rows[i] for i in order[start:start + cfg.batch_size]],
                     cutoff_len=cfg.cutoff_len,
                 )
-                params, opt_state, loss = self._step(params, opt_state, batch)
+                params, opt_state, loss = self._step(
+                    params, opt_state, self.shard_batch(batch)
+                )
                 step += 1
                 if log_fn:
                     log_fn(step, float(loss))

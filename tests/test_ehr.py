@@ -217,3 +217,112 @@ def test_ehrshot_parser_and_tasks(ehr_env, tmp_path):
     if los:
         labels, num_class = build_labels(los, "lenofstay")
         assert labels.max() <= 1
+
+
+def test_lr_schedule_matches_torch_cosine_annealing():
+    """The per-epoch LR must equal torch CosineAnnealingLR(T_max=10,
+    eta_min=1e-3) INCLUDING the periodic rise past T_max
+    (EHRModel_token.py:563-564)."""
+    torch = pytest.importorskip("torch")
+
+    lr0, spe = 3e-3, 7
+    cfg = EHRTrainConfig(lr=lr0, batch_size=8)
+    trainer = EHRTrainer(cfg, np.zeros((4, 256), np.float32), num_class=2)
+    trainer._make_tx(steps_per_epoch=spe)
+
+    opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=lr0)
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(
+        opt, T_max=10, eta_min=1e-3
+    )
+    for epoch in range(25):  # past T_max: the schedule must RISE again
+        want = opt.param_groups[0]["lr"]
+        got = float(trainer._lr_schedule(epoch * spe))          # epoch start
+        got_mid = float(trainer._lr_schedule(epoch * spe + spe - 1))
+        assert got == pytest.approx(want, rel=1e-6), epoch
+        assert got_mid == got  # constant within an epoch (per-epoch stepping)
+        sched.step()
+    assert float(trainer._lr_schedule(12 * spe)) > float(
+        trainer._lr_schedule(10 * spe)
+    )
+
+
+def test_ehr_dp_training_matches_single_device(ehr_env):
+    """8-virtual-device dp-sharded EHR train step == single-device step on
+    the same global batch (VERDICT missing #6 'done' criterion)."""
+    from medtok_tpu.parallel.mesh import make_mesh
+
+    d, mapper, db = ehr_env
+    tasks = PatientEHRTasks(db.patients, mapper, dataset="MIMIC_III")
+    data = tasks.build("readmission")
+    labels, num_class = build_labels(data, "readmission")
+    feats, fz = prepare_task_features(
+        data, labels, num_class, "readmission",
+        vocab_size=len(mapper), max_visits=10, max_medical_code=64,
+    )
+    table = np.random.default_rng(0).normal(size=(len(mapper), 256)).astype(np.float32)
+    cfg = EHRTrainConfig(
+        task="readmission", batch_size=8, epochs=1, num_layers=1,
+        hidden_dim=32, input_dim=64, output_dim=64, max_visits=10,
+        max_medical_code=64,
+    )
+    batch = fz.collate([feats[i % len(feats)] for i in range(8)])
+
+    single = EHRTrainer(cfg, table, num_class)
+    p1, o1 = single.init(batch)
+    sharded = EHRTrainer(cfg, table, num_class, mesh=make_mesh(dp=8, tp=1))
+    p2, o2 = sharded.init(batch)
+
+    rng = jax.random.PRNGKey(0)
+    p1n, _, loss1, probs1 = single._train_step(p1, o1, batch, rng)
+    p2n, _, loss2, probs2 = sharded._train_step(p2, o2, batch, rng)
+
+    # dropout rngs differ (per-device fold_in) so run a deterministic check:
+    # dropout=0.5 means stochastic — compare with dropout disabled instead
+    cfg0 = EHRTrainConfig(
+        task="readmission", batch_size=8, epochs=1, num_layers=1,
+        hidden_dim=32, input_dim=64, output_dim=64, max_visits=10,
+        max_medical_code=64, dropout=0.0,
+    )
+    single = EHRTrainer(cfg0, table, num_class)
+    p1, o1 = single.init(batch)
+    sharded = EHRTrainer(cfg0, table, num_class, mesh=make_mesh(dp=8, tp=1))
+    p1n, _, loss1, probs1 = single._train_step(p1, o1, batch, rng)
+    p2n, _, loss2, probs2 = sharded._train_step(p1, o1, batch, rng)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(probs1), np.asarray(probs2), rtol=1e-4, atol=1e-5
+    )
+    for a, b in zip(jax.tree.leaves(p1n), jax.tree.leaves(p2n)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+
+
+def test_fit_with_fewer_samples_than_batch(ehr_env):
+    """Regression (VERDICT weak #4): len(feats) < batch_size used to hit an
+    unbound `loss` NameError in fit's logging path."""
+    d, mapper, db = ehr_env
+    tasks = PatientEHRTasks(db.patients, mapper, dataset="MIMIC_III")
+    data = tasks.build("readmission")
+    labels, num_class = build_labels(data, "readmission")
+    feats, fz = prepare_task_features(
+        data, labels, num_class, "readmission",
+        vocab_size=len(mapper), max_visits=10, max_medical_code=64,
+    )
+    table = np.random.default_rng(0).normal(size=(len(mapper), 256)).astype(np.float32)
+    cfg = EHRTrainConfig(
+        task="readmission", batch_size=64, epochs=1, num_layers=1,
+        hidden_dim=32, input_dim=64, output_dim=64, max_visits=10,
+        max_medical_code=64,
+    )
+    trainer = EHRTrainer(cfg, table, num_class)
+    pos = [i for i in range(len(labels)) if labels[i] == 1][:4]
+    neg = [i for i in range(len(labels)) if labels[i] == 0][:4]
+    val_batches = [fz.collate([feats[i] for i in (pos + neg)])]
+    logs = []
+    params, best = trainer.fit(
+        feats[:8], np.ones(8), val_batches, fz,
+        log_fn=lambda e, m: logs.append(m),
+    )
+    assert logs and np.isnan(logs[0]["loss"])  # no train batch ran
+    assert "aupr" in best

@@ -341,3 +341,41 @@ def test_stream_generate(tiny_llm):
     # streamed tokens equal the non-streamed run
     ref = generate(model, params, embeds, mask, max_new_tokens=4, temperature=0.0)
     assert toks == ref[0].tolist()
+
+
+def test_tp_sharded_finetune_matches_single_device():
+    """(dp=2, tp=4) mesh over 8 virtual devices: the frozen-base TP layout
+    (qa.sharding, Megatron column/row-parallel) must reproduce the
+    single-device finetune step — same loss, same updated LoRA params
+    (VERDICT missing #5)."""
+    from medtok_tpu.qa.finetune import QAFinetuneConfig, QAFinetuner
+
+    rng = np.random.default_rng(6)
+    table = rng.normal(size=(50, 256)).astype(np.float32)
+    rows = [
+        pack_example([5 + i, 6, 7], [9 + i], [1, 2 + i], cutoff_len=8)
+        for i in range(4)
+    ]
+    losses, trees = [], []
+    for dp, tp in ((1, 1), (2, 4)):
+        cfg = QAFinetuneConfig(lora_rank=2, cutoff_len=8, total_len=24,
+                               batch_size=4, epochs=1, mesh_dp=dp, mesh_tp=tp)
+        ft = QAFinetuner(TINY_LLAMA, table, cfg)
+        params = ft.init_params(None)
+        if tp > 1:
+            # every large llm kernel must actually be sharded over tp
+            from medtok_tpu.parallel.mesh import TP_AXIS
+
+            k = params["llm"]["layers_0"]["self_attn"]["q_proj"]["base"]["kernel"]
+            assert TP_AXIS in k.sharding.spec
+            d = params["llm"]["layers_0"]["mlp"]["down_proj"]["kernel"]
+            assert TP_AXIS in d.sharding.spec
+        log = []
+        params = ft.fit(params, rows, log_fn=lambda s, l: log.append(l))
+        losses.append(log)
+        trees.append(jax.device_get(params))
+    assert losses[0] == pytest.approx(losses[1], rel=1e-4)
+    a = trees[0]["llm"]["layers_0"]["self_attn"]["q_proj"]["lora_b"]
+    b = trees[1]["llm"]["layers_0"]["self_attn"]["q_proj"]["lora_b"]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                               atol=1e-6)
