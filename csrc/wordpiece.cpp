@@ -11,9 +11,11 @@
 //
 // C ABI for ctypes; vocabulary stored in a hash map keyed by token string.
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -30,40 +32,9 @@ inline bool is_ascii_punct(unsigned char c) {
          (c >= 91 && c <= 96) || (c >= 123 && c <= 126);
 }
 
-}  // namespace
-
-extern "C" {
-
-// vocab_blob: '\n'-separated token strings, id = line index.
-void* medtok_wp_build(const char* vocab_blob, int64_t blob_len) {
-  auto* v = new Vocab();
-  int32_t id = 0;
-  const char* p = vocab_blob;
-  const char* end = vocab_blob + blob_len;
-  while (p < end) {
-    const char* nl = static_cast<const char*>(memchr(p, '\n', end - p));
-    size_t len = (nl ? nl : end) - p;
-    std::string tok(p, len);
-    if (!tok.empty() && tok.back() == '\r') tok.pop_back();
-    v->map.emplace(tok, id);
-    if (tok == "[UNK]") v->unk = id;
-    else if (tok == "[CLS]") v->cls = id;
-    else if (tok == "[SEP]") v->sep = id;
-    else if (tok == "[PAD]") v->pad = id;
-    id++;
-    p = nl ? nl + 1 : end;
-  }
-  return v;
-}
-
-void medtok_wp_free(void* handle) { delete static_cast<Vocab*>(handle); }
-
-// Encode ASCII text -> ids. Returns the number of ids written (<= max_out,
-// truncated to max_len-1 then [SEP] appended, matching the Python encode),
-// or -1 if the text contains non-ASCII bytes (caller falls back).
-int64_t medtok_wp_encode(const void* handle, const char* text, int64_t text_len,
-                         int32_t* out, int64_t max_len) {
-  const auto* v = static_cast<const Vocab*>(handle);
+// Core single-text encode; returns ids written or -1 on non-ASCII input.
+int64_t encode_one(const Vocab* v, const char* text, int64_t text_len,
+                   int32_t* out, int64_t max_len) {
   // reject non-ASCII and control chars other than whitespace
   for (int64_t i = 0; i < text_len; i++) {
     unsigned char c = text[i];
@@ -143,6 +114,88 @@ int64_t medtok_wp_encode(const void* handle, const char* text, int64_t text_len,
   int64_t n = static_cast<int64_t>(ids.size());
   memcpy(out, ids.data(), n * sizeof(int32_t));
   return n;
+}
+
+}  // namespace
+
+extern "C" {
+
+// vocab_blob: '\n'-separated token strings, id = line index.
+void* medtok_wp_build(const char* vocab_blob, int64_t blob_len) {
+  auto* v = new Vocab();
+  int32_t id = 0;
+  const char* p = vocab_blob;
+  const char* end = vocab_blob + blob_len;
+  while (p < end) {
+    const char* nl = static_cast<const char*>(memchr(p, '\n', end - p));
+    size_t len = (nl ? nl : end) - p;
+    std::string tok(p, len);
+    if (!tok.empty() && tok.back() == '\r') tok.pop_back();
+    v->map.emplace(tok, id);
+    if (tok == "[UNK]") v->unk = id;
+    else if (tok == "[CLS]") v->cls = id;
+    else if (tok == "[SEP]") v->sep = id;
+    else if (tok == "[PAD]") v->pad = id;
+    id++;
+    p = nl ? nl + 1 : end;
+  }
+  return v;
+}
+
+void medtok_wp_free(void* handle) { delete static_cast<Vocab*>(handle); }
+
+// Encode ASCII text -> ids. Returns the number of ids written (<= max_out,
+// truncated to max_len-1 then [SEP] appended, matching the Python encode),
+// or -1 if the text contains non-ASCII bytes (caller falls back).
+int64_t medtok_wp_encode(const void* handle, const char* text, int64_t text_len,
+                         int32_t* out, int64_t max_len) {
+  return encode_one(static_cast<const Vocab*>(handle), text, text_len, out,
+                    max_len);
+}
+
+// Batch encode with an internal thread pool. texts are concatenated in
+// `blob`; text i spans [offsets[i], offsets[i+1]). Writes ids to
+// out + i*max_len and the id count (or -1 for non-ASCII rejects, which the
+// Python side re-encodes with the full-Unicode fallback) to out_lens[i].
+// num_threads <= 0 means hardware_concurrency. Returns the reject count.
+int64_t medtok_wp_encode_batch(const void* handle, const char* blob,
+                               const int64_t* offsets, int64_t num_texts,
+                               int32_t* out, int64_t* out_lens,
+                               int64_t max_len, int32_t num_threads) {
+  const auto* v = static_cast<const Vocab*>(handle);
+  int nt = num_threads > 0
+               ? num_threads
+               : static_cast<int>(std::thread::hardware_concurrency());
+  if (nt < 1) nt = 1;
+  if (static_cast<int64_t>(nt) > num_texts) nt = static_cast<int>(num_texts);
+
+  std::atomic<int64_t> next(0), rejects(0);
+  auto worker = [&]() {
+    // dynamic chunks: descriptions vary in length, so static striding
+    // would leave stragglers on one thread
+    constexpr int64_t kChunk = 256;
+    for (;;) {
+      int64_t begin = next.fetch_add(kChunk);
+      if (begin >= num_texts) return;
+      int64_t end = begin + kChunk < num_texts ? begin + kChunk : num_texts;
+      for (int64_t i = begin; i < end; i++) {
+        int64_t n = encode_one(v, blob + offsets[i],
+                               offsets[i + 1] - offsets[i],
+                               out + i * max_len, max_len);
+        out_lens[i] = n;
+        if (n < 0) rejects.fetch_add(1);
+      }
+    }
+  };
+  if (nt == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> threads;
+    threads.reserve(nt);
+    for (int t = 0; t < nt; t++) threads.emplace_back(worker);
+    for (auto& th : threads) th.join();
+  }
+  return rejects.load();
 }
 
 }  // extern "C"

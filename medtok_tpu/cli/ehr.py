@@ -46,6 +46,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "visible (the reference trains Lightning DDP over "
                         "every GPU, MedTok_EHR.py:230). Falls back to 1 when "
                         "batch size does not divide.")
+    p.add_argument("--wandb", action="store_true",
+                   help="mirror per-run metrics to wandb (WandbLogger, "
+                        "MedTok_EHR.py:316-330); metrics.jsonl is always "
+                        "written under --save-result-path")
+    p.add_argument("--hyper-search", action="store_true",
+                   help="coordinate hyperparameter sweep over dropout/"
+                        "num_layers/lr for the chosen task "
+                        "(hyper_search_, MedTok_EHR.py:246-271)")
+    p.add_argument("--search-repeats", type=int, default=1,
+                   help="repeats per grid point (the reference runs 10)")
+    p.add_argument("--search-grid", type=str, default=None,
+                   help='JSON dict {hp_name: [values]} overriding the default '
+                        'sweep grid')
     return p
 
 
@@ -96,17 +109,10 @@ def main(argv=None) -> None:
     w = sample_weights(labels, args.task)
 
     table = np.load(args.embedding_path)
-    cfg = EHRTrainConfig(
-        task=args.task, batch_size=args.batch_size, epochs=args.epochs,
-        lr=args.lr, num_layers=args.num_layers, dropout=args.dropout,
-        hidden_dim=args.hidden_dim, input_dim=args.input_dim,
-        output_dim=args.output_dim, num_heads=args.num_heads,
-        max_visits=args.max_visits, max_medical_code=args.max_medical_code,
-        seed=args.seed,
-    )
     import jax
 
     from medtok_tpu.parallel.mesh import make_mesh
+    from medtok_tpu.utils.logging import MetricsLogger
 
     ndev = len(jax.devices())
     dp = ndev if args.mesh_dp == -1 else args.mesh_dp
@@ -116,29 +122,97 @@ def main(argv=None) -> None:
     if mesh is not None:
         logger.info(f"dp-sharding the train step over {dp} devices")
 
-    trainer = EHRTrainer(cfg, table, num_class, mesh=mesh)
     val_batches = [
         fz.collate([feats[i] for i in va[s:s + args.batch_size]])
         for s in range(0, max(len(va) - args.batch_size + 1, 1), args.batch_size)
     ]
-    params, best = trainer.fit(
-        [feats[i] for i in tr], w[tr], val_batches, fz,
-        log_fn=lambda e, m: logger.info(f"epoch {e}: {m}"),
-    )
-    logger.info(f"Best val: {best}")
     test_batches = [
         fz.collate([feats[i] for i in te[s:s + args.batch_size]])
         for s in range(0, max(len(te) - args.batch_size + 1, 1), args.batch_size)
     ]
-    test = trainer.evaluate(params, test_batches)
-    logger.info(f"Test: {test}")
 
-    # persist the best model + metrics (the reference saves model.pth and
-    # reports test results, MedTok_EHR.py:235-238)
+    def single_run(overrides: dict, metrics: MetricsLogger | None):
+        """One train+eval run; returns (best_params, best_val, test_metrics).
+        (single_run, MedTok_EHR.py:107-238)."""
+        hp = {"lr": args.lr, "num_layers": args.num_layers,
+              "dropout": args.dropout, **overrides}
+        cfg = EHRTrainConfig(
+            task=args.task, batch_size=args.batch_size, epochs=args.epochs,
+            lr=hp["lr"], num_layers=hp["num_layers"], dropout=hp["dropout"],
+            hidden_dim=args.hidden_dim, input_dim=args.input_dim,
+            output_dim=args.output_dim, num_heads=args.num_heads,
+            max_visits=args.max_visits, max_medical_code=args.max_medical_code,
+            seed=hp.get("seed", args.seed),
+        )
+        trainer = EHRTrainer(cfg, table, num_class, mesh=mesh)
+
+        def log_fn(epoch, m):
+            logger.info(f"epoch {epoch}: {m}")
+            if metrics is not None:
+                metrics.log(epoch, {"train/loss": m["loss"],
+                                    **{f"val/{k}": v
+                                       for k, v in m["val"].items()}})
+
+        params, best = trainer.fit(
+            [feats[i] for i in tr], w[tr], val_batches, fz, log_fn=log_fn
+        )
+        test = trainer.evaluate(params, test_batches)
+        if metrics is not None:
+            metrics.log(args.epochs, {f"test/{k}": v for k, v in test.items()})
+        return params, best, test
+
     import json
 
     out = Path(args.save_result_path)
     out.mkdir(parents=True, exist_ok=True)
+
+    if args.hyper_search:
+        # coordinate sweep, reference hyper_search_ (MedTok_EHR.py:246-271):
+        # vary one hyperparameter at a time around the CLI-given point
+        grid = {
+            "dropout": [0.1, 0.2, 0.3, 0.4, 0.5],
+            "num_layers": [1, 2, 3, 4],
+            "lr": [1e-4, 5e-4, 1e-3],
+        }
+        if args.search_grid:
+            grid = json.loads(args.search_grid)
+        results = []
+        for hp_name, options in grid.items():
+            logger.info(f"now searching for {hp_name}...")
+            for hp_value in options:
+                for rep in range(args.search_repeats):
+                    _, best, test = single_run(
+                        {hp_name: hp_value, "seed": args.seed + rep}, None
+                    )
+                    row = {"hp": hp_name, "value": hp_value, "repeat": rep,
+                           "best_val": best, "test": test}
+                    logger.info(f"grid {hp_name}={hp_value} rep {rep}: {test}")
+                    results.append(row)
+        results.sort(key=lambda r: -r["best_val"]["aupr"])
+        (out / "hyper_search.json").write_text(
+            json.dumps({"task": args.task, "dataset": args.dataset,
+                        "results": results}, indent=2) + "\n"
+        )
+        logger.info(f"Best grid point: {results[0]}")
+        return
+
+    run_name = (
+        f"Model_Name_medtok_tpu_Batch_size_{args.batch_size}_Epochs_"
+        f"{args.epochs}_Layers_{args.num_layers}_LR_{args.lr}"
+    )  # WandbLogger name format, MedTok_EHR.py:317
+    metrics = MetricsLogger(
+        out, use_wandb=args.wandb, wandb_project="EHR_experiment",
+        run_name=run_name, config=vars(args),
+    )
+    try:
+        params, best, test = single_run({}, metrics)
+    finally:
+        metrics.close()
+    logger.info(f"Best val: {best}")
+    logger.info(f"Test: {test}")
+
+    # persist the best model + metrics (the reference saves model.pth and
+    # reports test results, MedTok_EHR.py:235-238)
     import orbax.checkpoint as ocp
 
     ocp.PyTreeCheckpointer().save(

@@ -142,9 +142,17 @@ class MedCodeDataset:
             enc = self._encoder
             max_len = self.cfg.max_text_length
             cache = self._text_cache
-            for i, d in enumerate(self.df["desc"].to_numpy()):
-                if i not in cache:
-                    cache[i] = enc.encode(str(d), max_length=max_len)[0]
+            descs = self.df["desc"].to_numpy()
+            missing = [i for i in range(len(descs)) if i not in cache]
+            if missing and hasattr(enc, "encode_batch"):
+                # multithreaded C++ bulk path (GIL released for the batch)
+                encoded = enc.encode_batch(
+                    [str(descs[i]) for i in missing], max_length=max_len
+                )
+                cache.update(zip(missing, encoded))
+            else:
+                for i in missing:
+                    cache[i] = enc.encode(str(descs[i]), max_length=max_len)[0]
 
     def save_text_cache(self) -> None:
         """Persist the tokenized descriptions (call after a full pass)."""

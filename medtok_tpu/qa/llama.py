@@ -13,6 +13,7 @@ SwiGLU) with:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any
 
 import jax
@@ -271,6 +272,89 @@ def convert_hf_llama(state_dict: dict, cfg: LlamaConfig) -> dict:
 # Generation (greedy / temperature+top-p; MedTok_QA_inference.py:121-162)
 # ---------------------------------------------------------------------------
 
+_DECODE_FN_CACHE: dict = {}
+
+
+def _make_decode_fns(model: LlamaModel, temperature: float, top_p: float,
+                     eos_token_id: int | None):
+    """jit-compiled prefill + decode step for ``generate``. Compiled ONCE per
+    (model, sampler, batch-shape) and cached — the autoregressive loop then
+    re-dispatches the same executable instead of retracing per token (the
+    TPU-native answer to the reference's eager per-step generation,
+    MedTok_QA_inference.py:121-162)."""
+    key = (model, float(temperature), float(top_p), eos_token_id)
+    if key in _DECODE_FN_CACHE:
+        return _DECODE_FN_CACHE[key]
+
+    def sample(last, rng):
+        if temperature > 0:
+            probs = jax.nn.softmax(last / temperature, axis=-1)
+            # top-p nucleus filter
+            sorted_idx = jnp.argsort(-probs, axis=-1)
+            sorted_p = jnp.take_along_axis(probs, sorted_idx, axis=-1)
+            cum = jnp.cumsum(sorted_p, axis=-1)
+            keep = cum - sorted_p < top_p
+            filt = jnp.where(keep, sorted_p, 0.0)
+            filt = filt / jnp.sum(filt, axis=-1, keepdims=True)
+            choice = jax.random.categorical(rng, jnp.log(filt + 1e-12), axis=-1)
+            return jnp.take_along_axis(sorted_idx, choice[:, None], axis=-1)[:, 0]
+        return jnp.argmax(last, axis=-1)
+
+    @jax.jit
+    def prefill(params, inputs_embeds, full_mask, positions, caches):
+        logits, caches = model.apply(
+            {"params": params},
+            inputs_embeds=inputs_embeds,
+            attention_mask=full_mask,
+            positions=positions,
+            caches=caches,
+            cache_pos=0,
+        )
+        return logits[:, -1, :], caches
+
+    def step(params, carry):
+        """One decode step: sample from the previous logits, open the mask
+        slot, run the cached forward at that slot."""
+        caches, full_mask, cur_pos, last, rng, finished, slot = carry
+        rng, sub = jax.random.split(rng)
+        tok = sample(last, sub)
+        if eos_token_id is not None:
+            tok = jnp.where(finished, eos_token_id, tok)
+            finished = finished | (tok == eos_token_id)
+        cur_pos = cur_pos + 1
+        full_mask = jax.lax.dynamic_update_slice(
+            full_mask,
+            jnp.ones((full_mask.shape[0], 1), full_mask.dtype),
+            (0, slot),
+        )
+        emb = model.apply({"params": params}, tok[:, None], method=LlamaModel.embed)
+        logits, caches = model.apply(
+            {"params": params},
+            inputs_embeds=emb,
+            attention_mask=full_mask,
+            positions=cur_pos[:, None],
+            caches=caches,
+            cache_pos=slot,
+        )
+        carry = (caches, full_mask, cur_pos, logits[:, -1, :], rng,
+                 finished, slot + 1)
+        return carry, tok
+
+    step_jit = jax.jit(step)
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def scan_decode(params, carry, n_steps):
+        """The fused path: the whole continuation in ONE dispatch."""
+        carry, toks = jax.lax.scan(
+            lambda c, _: step(params, c), carry, None, length=n_steps
+        )
+        return jnp.swapaxes(toks, 0, 1)  # [steps, B] -> [B, steps]
+
+    fns = (prefill, step_jit, scan_decode)
+    _DECODE_FN_CACHE[key] = fns
+    return fns
+
+
 def generate(
     model: LlamaModel,
     params,
@@ -286,13 +370,16 @@ def generate(
 ) -> np.ndarray:
     """Sampled continuation ids [B, max_new_tokens]. ``on_token(tok)`` is
     called per decoded step with the batch's first-row token (streaming;
-    see qa.callbacks)."""
+    see qa.callbacks).
+
+    Without ``on_token`` the full continuation runs as a single compiled
+    ``lax.scan`` dispatch; with it, a per-step compiled executable streams
+    tokens (and stops early once every row hit ``eos_token_id``)."""
     B, L, H = inputs_embeds.shape
     total = L + max_new_tokens
     cfg = model.cfg
     Dh = cfg.hidden_size // cfg.num_heads
 
-    # prefill without cache, then re-run... simpler: maintain caches manually
     caches = [
         (
             jnp.zeros((B, total, cfg.num_kv_heads, Dh), inputs_embeds.dtype),
@@ -305,56 +392,27 @@ def generate(
     )
     positions = jnp.cumsum(attention_mask, axis=1) - 1  # left-padded friendly
     positions = jnp.maximum(positions, 0)
-
-    logits, caches = model.apply(
-        {"params": params},
-        inputs_embeds=inputs_embeds,
-        attention_mask=full_mask,
-        positions=positions,
-        caches=caches,
-        cache_pos=0,
-    )
-    last = logits[:, -1, :]
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
-    out = []
-    cur_pos = positions[:, -1]
-    finished = jnp.zeros((B,), bool)
-    for step in range(max_new_tokens):
-        if temperature > 0:
-            probs = jax.nn.softmax(last / temperature, axis=-1)
-            # top-p nucleus filter
-            sorted_idx = jnp.argsort(-probs, axis=-1)
-            sorted_p = jnp.take_along_axis(probs, sorted_idx, axis=-1)
-            cum = jnp.cumsum(sorted_p, axis=-1)
-            keep = cum - sorted_p < top_p
-            filt = jnp.where(keep, sorted_p, 0.0)
-            filt = filt / jnp.sum(filt, axis=-1, keepdims=True)
-            rng, sub = jax.random.split(rng)
-            choice = jax.random.categorical(sub, jnp.log(filt + 1e-12), axis=-1)
-            tok = jnp.take_along_axis(sorted_idx, choice[:, None], axis=-1)[:, 0]
-        else:
-            tok = jnp.argmax(last, axis=-1)
-        if eos_token_id is not None:
-            tok = jnp.where(finished, eos_token_id, tok)
-            finished = finished | (tok == eos_token_id)
-        out.append(tok)
-        if on_token is not None:
-            on_token(int(tok[0]))
+    prefill, step_jit, scan_decode = _make_decode_fns(
+        model, temperature, top_p, eos_token_id
+    )
+    last, caches = prefill(params, inputs_embeds, full_mask, positions, caches)
+    carry = (
+        caches, full_mask, positions[:, -1], last, rng,
+        jnp.zeros((B,), bool), jnp.asarray(L, jnp.int32),
+    )
 
-        cur_pos = cur_pos + 1
-        full_mask = full_mask.at[:, L + step].set(1)
-        emb = model.apply({"params": params}, tok[:, None], method=LlamaModel.embed)
-        logits, caches = model.apply(
-            {"params": params},
-            inputs_embeds=emb,
-            attention_mask=full_mask,
-            positions=cur_pos[:, None],
-            caches=caches,
-            cache_pos=L + step,
-        )
-        last = logits[:, -1, :]
+    if on_token is None:
+        return np.asarray(scan_decode(params, carry, max_new_tokens))
+
+    out = []
+    for _ in range(max_new_tokens):
+        carry, tok = step_jit(params, carry)
+        out.append(tok)
+        on_token(int(tok[0]))
+        finished = carry[5]
         if eos_token_id is not None and bool(jnp.all(finished)):
             break
     return np.stack([np.asarray(t) for t in out], axis=1)

@@ -86,6 +86,52 @@ def test_train_then_export_cli(workspace):
     assert np.abs(emb).sum(axis=1).min() > 0
 
 
+def test_ehr_cli(workspace, tmp_path):
+    d = workspace
+    from medtok_tpu.ehr.synthetic import synthetic_mimic3
+    from medtok_tpu.ehr.tasks import CodeMapper
+
+    mapper = CodeMapper(d / "codes.parquet")
+    codes = [str(c) for c in mapper.df["med_code"]]
+    root = tmp_path / "ehr"
+    synthetic_mimic3(root / "MIMIC_III", codes, num_patients=40, seed=1)
+    emb = np.random.default_rng(2).normal(size=(len(mapper), 256))
+    np.save(tmp_path / "emb.npy", emb.astype(np.float32))
+
+    common = [
+        "--dataset", "MIMIC_III", "--task", "readmission",
+        "--ehr-root", str(root),
+        "--med-codes", str(d / "codes.parquet"),
+        "--embedding-path", str(tmp_path / "emb.npy"),
+        "--batch-size", "8", "--epochs", "2",
+        "--hidden-dim", "32", "--num-layers", "1", "--num-heads", "2",
+        "--input-dim", "16", "--output-dim", "16",
+        "--max-visits", "5", "--max-medical-code", "50",
+        "--mesh-dp", "1",
+    ]
+    r = _run(
+        "medtok_tpu.cli.ehr", *common,
+        "--save-result-path", str(tmp_path / "res"),
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    tm = json.loads((tmp_path / "res" / "test_metrics.json").read_text())
+    assert {"auc", "aupr", "f1"} <= set(tm["test"])
+    assert (tmp_path / "res" / "best_model").exists()
+    assert (tmp_path / "res" / "metrics.jsonl").exists()
+
+    # tiny hyperparameter sweep through the same driver (hyper_search_,
+    # MedTok_EHR.py:246-271)
+    r2 = _run(
+        "medtok_tpu.cli.ehr", *common,
+        "--save-result-path", str(tmp_path / "res_grid"),
+        "--hyper-search", "--search-grid", '{"dropout": [0.1, 0.5]}',
+    )
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    hs = json.loads((tmp_path / "res_grid" / "hyper_search.json").read_text())
+    assert len(hs["results"]) == 2
+    assert hs["results"][0]["best_val"]["aupr"] >= hs["results"][1]["best_val"]["aupr"]
+
+
 def test_qa_cli_tiny(workspace, tmp_path):
     d = workspace
     emb = np.random.default_rng(1).normal(size=(40, 256)).astype(np.float32)

@@ -134,6 +134,36 @@ def test_native_wordpiece_matches_python():
     np.testing.assert_array_equal(ids_a, ids_b)
 
 
+def test_native_wordpiece_batch_matches_sequential():
+    """encode_batch (multithreaded C++) == per-text encode, including the
+    non-ASCII python-fallback rows and truncation."""
+    from medtok_tpu.data.native_text import NativeWordPiece, native_text_available
+    from medtok_tpu.data.text import WordPieceTokenizer, make_test_vocab
+
+    if not native_text_available():
+        pytest.skip("no C++ toolchain")
+    tok = WordPieceTokenizer(make_test_vocab(
+        ["diabetes", "mellitus", "acute", "fracture", "type", "ii"]
+    ))
+    fast = NativeWordPiece(tok)
+    rng = np.random.default_rng(1)
+    words = ["diabetes", "mellitus", "acute", "fracture", "type", "ii",
+             "e11.9", "UNKNOWNWORD", "..."]
+    texts = [
+        " ".join(rng.choice(words, size=int(rng.integers(1, 30))))
+        for _ in range(500)
+    ]
+    texts[3] = "café au lait"        # non-ASCII -> python fallback row
+    texts[10] = ""                   # empty
+    texts[20] = "x " * 200           # truncation
+    for nthreads in (1, 4):
+        got = fast.encode_batch(texts, max_length=16, num_threads=nthreads)
+        assert len(got) == len(texts)
+        for t, g in zip(texts, got):
+            ref_ids, _ = tok.encode(t, max_length=16)
+            np.testing.assert_array_equal(g, ref_ids, err_msg=t)
+
+
 def test_native_wordpiece_speed_sanity():
     import time
 

@@ -113,6 +113,23 @@ def test_generate_shapes(tiny_llm):
     assert out.dtype.kind == "i"
 
 
+def test_generate_scan_matches_streaming_path(tiny_llm):
+    """The fused lax.scan decode and the per-step streaming decode share the
+    sampling math and rng split sequence — token-identical outputs."""
+    model, params = tiny_llm
+    B, L, H = 2, 6, model.cfg.hidden_size
+    rng = np.random.default_rng(4)
+    embeds = jnp.asarray(rng.normal(size=(B, L, H)).astype(np.float32))
+    mask = jnp.ones((B, L), jnp.int32)
+    for temp in (0.0, 0.7):
+        key = jax.random.PRNGKey(11)
+        fused = generate(model, params, embeds, mask, max_new_tokens=6,
+                         temperature=temp, rng=key)
+        stream = generate(model, params, embeds, mask, max_new_tokens=6,
+                          temperature=temp, rng=key, on_token=lambda t: None)
+        np.testing.assert_array_equal(fused, stream)
+
+
 def test_soft_prompt_injection_matches_reference_semantics():
     """Vectorized injection == the reference's per-row loop (review.py:50-74)."""
     rng = np.random.default_rng(4)
