@@ -67,6 +67,7 @@ class TransformerEncoderLayer(nn.Module):
     nhead: int
     dim_feedforward: int
     dropout: float = 0.5
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x, pad_mask, *, deterministic=True):
@@ -74,6 +75,7 @@ class TransformerEncoderLayer(nn.Module):
 
         valid = ~pad_mask  # key mask: True = attendable
         attn = MultiheadAttention(self.d_model, self.nhead, self.dropout,
+                                  use_flash=self.use_flash,
                                   name="self_attn")(
             x, x, x, valid, deterministic=deterministic
         )
@@ -103,6 +105,7 @@ class EHRModel(nn.Module):
     num_layers: int = 4
     dropout: float = 0.5
     max_year: int = 1000
+    use_flash: bool = False      # Pallas flash attention in the encoder
 
     def setup(self):
         emb_dim = self.embedding_table.shape[1]
@@ -122,7 +125,7 @@ class EHRModel(nn.Module):
         self.layers = [
             TransformerEncoderLayer(
                 self.input_dim, self.num_heads, self.hidden_dim, self.dropout,
-                name=f"layer_{i}",
+                use_flash=self.use_flash, name=f"layer_{i}",
             )
             for i in range(self.num_layers)
         ]

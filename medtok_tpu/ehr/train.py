@@ -123,6 +123,10 @@ class EHRTrainConfig:
     max_medical_code: int = 2000
     early_stop_patience: int = 5
     seed: int = 42
+    # Pallas flash attention in the encoder: True / False / "auto" (= on TPU
+    # with long sequences, where the dense [B,H,L,L] score tensor would cost
+    # ~L^2 memory — 16 GB fp32 at the reference B=256, L=2003)
+    flash_attention: bool | str = "auto"
 
 
 class EHRTrainer:
@@ -140,12 +144,19 @@ class EHRTrainer:
                 f"batch_size {cfg.batch_size} not divisible by {mesh.size} devices"
             )
         self.mesh = mesh
+        use_flash = cfg.flash_attention
+        if use_flash == "auto":
+            use_flash = (
+                jax.default_backend() == "tpu"
+                and cfg.max_medical_code + 3 >= 1024
+            )
         self.model = EHRModel(
             embedding_table=jnp.asarray(embedding_table, jnp.float32),
             num_class=num_class,
             input_dim=cfg.input_dim, output_dim=cfg.output_dim,
             num_heads=cfg.num_heads, hidden_dim=cfg.hidden_dim,
             num_layers=cfg.num_layers, dropout=cfg.dropout,
+            use_flash=bool(use_flash),
         )
         self.tx = self._make_tx(steps_per_epoch=1)
         self._train_step = self._build_train_step()

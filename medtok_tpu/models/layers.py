@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 NEG_INF = -1e9
@@ -32,11 +33,19 @@ class MultiheadAttention(nn.Module):
     """torch.nn.MultiheadAttention-compatible MHA (batch-first here).
 
     q: [B, Lq, E], k/v: [B, Lk, E], key_mask: [B, Lk] bool (True = valid).
+
+    ``use_flash``: route softmax(QK^T)V through the fused Pallas flash
+    kernel (ops/flash_attention.py) — O(L) memory instead of the [B,H,L,L]
+    score tensor; dropout on attention probabilities is applied inside the
+    kernel (counter-hash mask, same semantics as the dense path in
+    distribution, not bitwise: flax Dropout draws differ from the kernel's
+    hash draws).
     """
 
     embed_dim: int
     num_heads: int
     dropout: float = 0.0
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, q, k, v, key_mask=None, *, deterministic: bool = True):
@@ -57,15 +66,31 @@ class MultiheadAttention(nn.Module):
         kh = kp.reshape(B, Lk, H, Dh).transpose(0, 2, 1, 3)
         vh = vp.reshape(B, Lk, H, Dh).transpose(0, 2, 1, 3)
 
-        logits = jnp.einsum(
-            "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
-        ) / jnp.sqrt(jnp.asarray(Dh, jnp.float32))
-        if key_mask is not None:
-            logits = jnp.where(key_mask[:, None, None, :], logits, NEG_INF)
-        attn = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
-        if self.dropout > 0.0 and not deterministic:
-            attn = nn.Dropout(self.dropout)(attn, deterministic=False)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh)
+        if self.use_flash:
+            from medtok_tpu.ops.flash_attention import flash_attention
+
+            rate = self.dropout if not deterministic else 0.0
+            if rate > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0, np.iinfo(np.int32).max
+                )
+            else:
+                seed = 0
+            out = flash_attention(
+                qh, kh, vh, key_mask,
+                dropout_rate=rate, dropout_seed=seed,
+                interpret=jax.default_backend() != "tpu",
+            )
+        else:
+            logits = jnp.einsum(
+                "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
+            ) / jnp.sqrt(jnp.asarray(Dh, jnp.float32))
+            if key_mask is not None:
+                logits = jnp.where(key_mask[:, None, None, :], logits, NEG_INF)
+            attn = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+            if self.dropout > 0.0 and not deterministic:
+                attn = nn.Dropout(self.dropout)(attn, deterministic=False)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh)
         out = out.transpose(0, 2, 1, 3).reshape(B, Lq, E)
         return nn.Dense(E, name="out_proj", dtype=q.dtype)(out)
 

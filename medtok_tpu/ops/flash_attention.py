@@ -1,0 +1,395 @@
+"""Fused flash attention (Pallas TPU) for the EHR patient encoder.
+
+The reference EHR transformer attends over 2003-token sequences
+(/root/reference/MedTok_EHR_Tutorial/EHRModel_token.py:236-237 with
+max_medical_code=2000 + [CLS, gender, ethnicity]); materializing the
+[B, H, L, L] score tensor costs ~16 GB fp32 at the reference batch size 256
+— more than a v5e chip's HBM. This kernel computes softmax(QK^T)V with the
+online-softmax recurrence in VMEM tiles: no L^2 tensor ever touches HBM, so
+memory is O(B*H*L*Dh) and the matmuls stay on the MXU.
+
+Semantics match ops in models/layers.py::MultiheadAttention:
+- key padding mask (True = attendable), fp32 score accumulation,
+- attention-probability dropout (torch nn.MultiheadAttention applies dropout
+  AFTER softmax): the denominator uses undropped probabilities, dropped
+  entries are zeroed and survivors scaled by 1/(1-rate) — distributionally
+  identical to `dropout(softmax(s)) @ v`, with a counter-based xorshift hash
+  so the same (seed, element) pair always draws the same mask on every
+  platform (CPU interpret mode included; pltpu.prng_* has no CPU lowering).
+
+Rows whose keys are ALL masked return zeros (the dense path returns a
+uniform average over NEG_INF logits; such rows never occur in the EHR model
+— slots 0..2 are always valid — and are discarded downstream elsewhere).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128          # f32 scratch lane width
+_MASKED = -1e30       # finite -inf stand-in (inf-inf NaNs in the recurrence)
+
+
+def _uniform_hash(seed, bh, row0, col0, bq, bk):
+    """[bq, bk] uint32 counter-based hash (splitmix/xorshift rounds) of the
+    GLOBAL (batch*head, query, key) coordinates — dropout masks are
+    deterministic in (seed, element), independent of tiling."""
+    rows = row0.astype(jnp.uint32) + jax.lax.broadcasted_iota(
+        jnp.uint32, (bq, bk), 0
+    )
+    cols = col0.astype(jnp.uint32) + jax.lax.broadcasted_iota(
+        jnp.uint32, (bq, bk), 1
+    )
+    x = rows * jnp.uint32(2654435761)
+    x = x ^ (cols * jnp.uint32(0x85EB_CA6B))
+    x = x ^ (seed.astype(jnp.uint32) + bh.astype(jnp.uint32) * jnp.uint32(0x9E37_79B9))
+    for shift, mult in ((16, 0x7FEB_352D), (15, 0x846C_A68B)):
+        x = x ^ (x >> jnp.uint32(shift))
+        x = x * jnp.uint32(mult)
+    return x ^ (x >> jnp.uint32(16))
+
+
+def _flash_kernel(
+    seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
+    m_scratch, l_scratch, acc_scratch,
+    *, sm_scale: float, dropout_rate: float, block_q: int, block_k: int,
+):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        m_scratch[:] = jnp.full_like(m_scratch, _MASKED)
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    q = q_ref[0]                     # [bq, Dh]
+    k = k_ref[0]                     # [bk, Dh]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * sm_scale                     # [bq, bk]
+    valid = mask_ref[:] != 0         # [1, bk] -> broadcasts
+    s = jnp.where(valid, s, _MASKED)
+
+    m_prev = m_scratch[:]            # [bq, LANES], all lanes equal
+    l_prev = l_scratch[:]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)          # [bq, 1]
+    m_next = jnp.maximum(m_prev, m_cur)                 # [bq, LANES]
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.where(valid, jnp.exp(s - m_next[:, :1]), 0.0)   # [bq, bk]
+    l_cur = jnp.sum(p, axis=-1, keepdims=True)
+    l_scratch[:] = l_prev * alpha + l_cur
+    m_scratch[:] = m_next
+
+    if dropout_rate > 0.0:
+        # post-softmax prob dropout: numerator only — see module docstring
+        bits = _uniform_hash(
+            seed_ref[0], pl.program_id(0),
+            pl.program_id(1) * block_q, ki * block_k, block_q, block_k,
+        )
+        keep = bits >= jnp.uint32(int(dropout_rate * 4294967296.0))
+        p_num = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
+    else:
+        p_num = p
+    acc_scratch[:] = acc_scratch[:] * alpha[:, :1] + jax.lax.dot_general(
+        p_num.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(ki == pl.num_programs(2) - 1)
+    def _():
+        l = l_scratch[:, :1]
+        safe_l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scratch[:] / safe_l).astype(o_ref.dtype)
+        # log-sum-exp residual for the backward pass (all-masked rows get a
+        # finite sentinel; their probabilities are re-masked in bwd anyway)
+        lse_ref[0] = m_scratch[:, :1] + jnp.log(safe_l)
+
+
+# ---------------------------------------------------------------------------
+# Backward kernels.
+#
+# With the denominator-undropped dropout scheme, the classic flash backward
+# identities survive unchanged (derivation): with a_ij = softmax row,
+# ã_ij = keep_ij * a_ij / (1-r) and t_ij = keep_ij/(1-r) * (dO_i·V_j):
+#   D_i      = dO_i · O_i = Σ_j a_ij t_ij          (same trick as no-dropout)
+#   ds_ij    = a_ij (t_ij − D_i)
+#   dV_j     = Σ_i ã_ij dO_i,   dQ_i = scale Σ_j ds_ij K_j,
+#   dK_j     = scale Σ_i ds_ij Q_i
+# a_ij is regenerated from the saved lse_i = m_i + log l_i, and keep_ij from
+# the SAME counter hash as the forward — nothing L^2 is ever stored.
+# ---------------------------------------------------------------------------
+
+
+def _prob_and_t(q, k, v, do, valid, lse, d_term, *, sm_scale, dropout_rate,
+                seed, bh, row0, col0, bq, bk):
+    """Shared bwd tile math: (a = p/l [bq,bk], ds [bq,bk], ã [bq,bk])."""
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * sm_scale
+    a = jnp.where(valid, jnp.exp(s - lse), 0.0)          # [bq, bk]
+    t = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )                                                     # dO·V^T [bq, bk]
+    if dropout_rate > 0.0:
+        bits = _uniform_hash(seed, bh, row0, col0, bq, bk)
+        keep = (bits >= jnp.uint32(int(dropout_rate * 4294967296.0))).astype(
+            jnp.float32
+        ) / (1.0 - dropout_rate)
+        t = t * keep
+        a_drop = a * keep
+    else:
+        a_drop = a
+    ds = a * (t - d_term)
+    return ds, a_drop
+
+
+def _flash_bwd_dq_kernel(
+    seed_ref, q_ref, k_ref, v_ref, mask_ref, lse_ref, dd_ref, do_ref,
+    dq_ref, dq_acc,
+    *, sm_scale: float, dropout_rate: float, block_q: int, block_k: int,
+):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    ds, _ = _prob_and_t(
+        q_ref[0], k_ref[0], v_ref[0], do_ref[0], mask_ref[:] != 0,
+        lse_ref[0], dd_ref[0],
+        sm_scale=sm_scale, dropout_rate=dropout_rate,
+        seed=seed_ref[0], bh=pl.program_id(0),
+        row0=pl.program_id(1) * block_q, col0=ki * block_k,
+        bq=block_q, bk=block_k,
+    )
+    dq_acc[:] += sm_scale * jax.lax.dot_general(
+        ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(ki == pl.num_programs(2) - 1)
+    def _():
+        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    seed_ref, q_ref, k_ref, v_ref, mask_ref, lse_ref, dd_ref, do_ref,
+    dk_ref, dv_ref, dk_acc, dv_acc,
+    *, sm_scale: float, dropout_rate: float, block_q: int, block_k: int,
+):
+    qi = pl.program_id(2)
+
+    @pl.when(qi == 0)
+    def _():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q, do = q_ref[0], do_ref[0]
+    ds, a_drop = _prob_and_t(
+        q, k_ref[0], v_ref[0], do, mask_ref[:] != 0,
+        lse_ref[0], dd_ref[0],
+        sm_scale=sm_scale, dropout_rate=dropout_rate,
+        seed=seed_ref[0], bh=pl.program_id(0),
+        row0=qi * block_q, col0=pl.program_id(1) * block_k,
+        bq=block_q, bk=block_k,
+    )
+    # transpose contractions: contract over the q rows of the tile
+    dv_acc[:] += jax.lax.dot_general(
+        a_drop.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dk_acc[:] += sm_scale * jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(qi == pl.num_programs(2) - 1)
+    def _():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _flash_core(qf, kf, vf, maskf, seed_arr, H, sm_scale, dropout_rate,
+                blocks, interpret):
+    out, _ = _flash_core_fwd(
+        qf, kf, vf, maskf, seed_arr, H, sm_scale, dropout_rate, blocks,
+        interpret,
+    )
+    return out
+
+
+def _flash_core_fwd(qf, kf, vf, maskf, seed_arr, H, sm_scale, dropout_rate,
+                    blocks, interpret):
+    block_q, block_k = blocks
+    BH, Lqp, Dh = qf.shape
+    Lkp = kf.shape[1]
+    grid = (BH, Lqp // block_q, Lkp // block_k)
+    kernel = functools.partial(
+        _flash_kernel, sm_scale=sm_scale, dropout_rate=dropout_rate,
+        block_q=block_q, block_k=block_k,
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_q, Dh), lambda b, qi, ki, *_: (b, qi, 0)),
+                pl.BlockSpec((1, block_k, Dh), lambda b, qi, ki, *_: (b, ki, 0)),
+                pl.BlockSpec((1, block_k, Dh), lambda b, qi, ki, *_: (b, ki, 0)),
+                # per-BATCH key mask, shared across the H heads of a row
+                pl.BlockSpec((1, block_k), lambda b, qi, ki, *_: (b // H, ki)),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, block_q, Dh), lambda b, qi, ki, *_: (b, qi, 0)),
+                pl.BlockSpec((1, block_q, 1), lambda b, qi, ki, *_: (b, qi, 0)),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, _LANES), jnp.float32),   # running max
+                pltpu.VMEM((block_q, _LANES), jnp.float32),   # running denom
+                pltpu.VMEM((block_q, Dh), jnp.float32),       # output accum
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((BH, Lqp, Dh), qf.dtype),
+            jax.ShapeDtypeStruct((BH, Lqp, 1), jnp.float32),
+        ),
+        interpret=interpret,
+    )(seed_arr, qf, kf, vf, maskf)
+    return out, (qf, kf, vf, maskf, seed_arr, lse, out)
+
+
+def _flash_core_bwd(H, sm_scale, dropout_rate, blocks, interpret, res, g):
+    qf, kf, vf, maskf, seed_arr, lse, out = res
+    block_q, block_k = blocks
+    BH, Lqp, Dh = qf.shape
+    Lkp = kf.shape[1]
+    g = g.astype(qf.dtype)
+    # D_i = dO_i . O_i  (valid with dropout too — see derivation above)
+    dd = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1,
+                 keepdims=True)
+
+    q_spec = pl.BlockSpec((1, block_q, Dh), lambda b, qi, ki, *_: (b, qi, 0))
+    r_spec = pl.BlockSpec((1, block_q, 1), lambda b, qi, ki, *_: (b, qi, 0))
+    k_spec = pl.BlockSpec((1, block_k, Dh), lambda b, qi, ki, *_: (b, ki, 0))
+    m_spec = pl.BlockSpec((1, block_k), lambda b, qi, ki, *_: (b // H, ki))
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dq_kernel, sm_scale=sm_scale,
+            dropout_rate=dropout_rate, block_q=block_q, block_k=block_k,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(BH, Lqp // block_q, Lkp // block_k),
+            in_specs=[q_spec, k_spec, k_spec, m_spec, r_spec, r_spec, q_spec],
+            out_specs=q_spec,
+            scratch_shapes=[pltpu.VMEM((block_q, Dh), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((BH, Lqp, Dh), qf.dtype),
+        interpret=interpret,
+    )(seed_arr, qf, kf, vf, maskf, lse, dd, g)
+
+    # dkv grid: (BH, k-blocks, q-blocks) — q is the reduction axis
+    q_spec2 = pl.BlockSpec((1, block_q, Dh), lambda b, ki, qi, *_: (b, qi, 0))
+    r_spec2 = pl.BlockSpec((1, block_q, 1), lambda b, ki, qi, *_: (b, qi, 0))
+    k_spec2 = pl.BlockSpec((1, block_k, Dh), lambda b, ki, qi, *_: (b, ki, 0))
+    m_spec2 = pl.BlockSpec((1, block_k), lambda b, ki, qi, *_: (b // H, ki))
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dkv_kernel, sm_scale=sm_scale,
+            dropout_rate=dropout_rate, block_q=block_q, block_k=block_k,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(BH, Lkp // block_k, Lqp // block_q),
+            in_specs=[q_spec2, k_spec2, k_spec2, m_spec2, r_spec2, r_spec2,
+                      q_spec2],
+            out_specs=(k_spec2, k_spec2),
+            scratch_shapes=[
+                pltpu.VMEM((block_k, Dh), jnp.float32),
+                pltpu.VMEM((block_k, Dh), jnp.float32),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((BH, Lkp, Dh), kf.dtype),
+            jax.ShapeDtypeStruct((BH, Lkp, Dh), vf.dtype),
+        ),
+        interpret=interpret,
+    )(seed_arr, qf, kf, vf, maskf, lse, dd, g)
+
+    zero_mask = np.zeros(maskf.shape, jax.dtypes.float0)
+    zero_seed = np.zeros(seed_arr.shape, jax.dtypes.float0)
+    return dq, dk, dv, zero_mask, zero_seed
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
+def flash_attention(
+    q: jax.Array,                    # [B, H, Lq, Dh]
+    k: jax.Array,                    # [B, H, Lk, Dh]
+    v: jax.Array,                    # [B, H, Lk, Dh]
+    key_mask: jax.Array | None = None,   # [B, Lk] bool/int, True = valid
+    *,
+    sm_scale: float | None = None,
+    dropout_rate: float = 0.0,
+    dropout_seed: int | jax.Array = 0,
+    block_q: int = 256,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """softmax(q k^T / sqrt(Dh)) v without materializing the L^2 scores.
+
+    Differentiable (custom VJP with tiled dq/dkv kernels); the dropout mask
+    regenerates from the counter hash in backward, so nothing quadratic is
+    ever saved."""
+    B, H, Lq, Dh = q.shape
+    Lk = k.shape[2]
+    if sm_scale is None:
+        sm_scale = 1.0 / float(np.sqrt(Dh))
+    block_q = min(block_q, max(Lq, 8))
+    block_k = min(block_k, max(Lk, 8))
+
+    pq = (-Lq) % block_q
+    pk = (-Lk) % block_k
+    if key_mask is None:
+        key_mask = jnp.ones((B, Lk), jnp.int32)
+    key_mask = key_mask.astype(jnp.int32)
+    if pq or pk:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pq), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pk), (0, 0)))
+        key_mask = jnp.pad(key_mask, ((0, 0), (0, pk)))
+    Lqp, Lkp = Lq + pq, Lk + pk
+
+    qf = q.reshape(B * H, Lqp, Dh)
+    kf = k.reshape(B * H, Lkp, Dh)
+    vf = v.reshape(B * H, Lkp, Dh)
+    seed_arr = jnp.reshape(jnp.asarray(dropout_seed, jnp.int32), (1,))
+    out = _flash_core(
+        qf, kf, vf, key_mask, seed_arr, H, float(sm_scale),
+        float(dropout_rate), (block_q, block_k), interpret,
+    )
+    return out.reshape(B, H, Lqp, Dh)[:, :, :Lq, :]
+
+
+def reference_attention(q, k, v, key_mask=None, *, sm_scale=None):
+    """Dense O(L^2) reference (the models/layers.py math) for testing."""
+    Dh = q.shape[-1]
+    if sm_scale is None:
+        sm_scale = 1.0 / float(np.sqrt(Dh))
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * sm_scale
+    if key_mask is not None:
+        s = jnp.where(key_mask[:, None, None, :].astype(bool), s, _MASKED)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)

@@ -1,0 +1,213 @@
+"""Pallas flash attention vs the dense reference: forward, custom-VJP
+backward, key-padding masks, and the counter-hash dropout (deterministic,
+tiling-invariant, distribution-correct, exactly matching a dense oracle
+that uses the same hash mask). All in interpret mode on the CPU mesh; the
+same kernel compiles on TPU (bench.py exercises compiled Pallas)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from medtok_tpu.ops.flash_attention import (
+    _uniform_hash,
+    flash_attention,
+    reference_attention,
+)
+
+
+def _rand(rng, *shape):
+    return jnp.asarray(rng.standard_normal(shape), jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def qkv():
+    rng = np.random.default_rng(0)
+    B, H, Lq, Lk, Dh = 2, 3, 35, 53, 16
+    q = _rand(rng, B, H, Lq, Dh)
+    k = _rand(rng, B, H, Lk, Dh)
+    v = _rand(rng, B, H, Lk, Dh)
+    mask = jnp.asarray(rng.random((B, Lk)) > 0.3).at[:, 0].set(True)
+    return q, k, v, mask
+
+
+@pytest.mark.parametrize("bq,bk", [(16, 16), (8, 32), (64, 64)])
+def test_forward_matches_dense(qkv, bq, bk):
+    q, k, v, mask = qkv
+    out = flash_attention(q, k, v, mask, block_q=bq, block_k=bk,
+                          interpret=True)
+    ref = reference_attention(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_forward_no_mask_uneven_lengths():
+    rng = np.random.default_rng(1)
+    q = _rand(rng, 1, 2, 7, 8)
+    k = _rand(rng, 1, 2, 13, 8)
+    v = _rand(rng, 1, 2, 13, 8)
+    out = flash_attention(q, k, v, block_q=16, block_k=16, interpret=True)
+    ref = reference_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_grads_match_dense_autodiff(qkv):
+    q, k, v, mask = qkv
+    rng = np.random.default_rng(2)
+    w = _rand(rng, *q.shape)
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, mask, block_q=16, block_k=16,
+                            interpret=True)
+        return jnp.sum(o * w)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(reference_attention(q, k, v, mask) * w)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def _dense_hash_dropout(q, k, v, mask, rate, seed):
+    """Dense oracle applying the SAME counter-hash keep mask as the kernel:
+    dropout(softmax(s)) @ v with denominator-undropped semantics."""
+    B, H, Lq, Dh = q.shape
+    Lk = k.shape[2]
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) / np.sqrt(Dh)
+    s = jnp.where(mask[:, None, None, :].astype(bool), s, -1e30)
+    a = jax.nn.softmax(s, axis=-1)
+    bits = jax.vmap(
+        lambda bh: _uniform_hash(
+            jnp.int32(seed), bh, jnp.int32(0), jnp.int32(0), Lq, Lk
+        )
+    )(jnp.arange(B * H, dtype=jnp.int32)).reshape(B, H, Lq, Lk)
+    keep = bits >= jnp.uint32(int(rate * 4294967296.0))
+    a = jnp.where(keep, a / (1.0 - rate), 0.0)
+    a = jnp.where(mask[:, None, None, :].astype(bool), a, 0.0)
+    return jnp.einsum("bhqk,bhkd->bhqd", a.astype(v.dtype), v)
+
+
+def test_dropout_matches_dense_hash_oracle(qkv):
+    """Forward AND grads equal a dense implementation that uses the
+    identical hash-generated dropout mask — validates the fused dropout
+    math (numerator-only drop, undropped denominator) end-to-end."""
+    q, k, v, mask = qkv
+    rng = np.random.default_rng(3)
+    w = _rand(rng, *q.shape)
+    rate, seed = 0.4, 9
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, mask, dropout_rate=rate,
+                            dropout_seed=seed, block_q=16, block_k=16,
+                            interpret=True)
+        return jnp.sum(o * w)
+
+    def loss_dense(q, k, v):
+        return jnp.sum(_dense_hash_dropout(q, k, v, mask, rate, seed) * w)
+
+    np.testing.assert_allclose(float(loss_flash(q, k, v)),
+                               float(loss_dense(q, k, v)), rtol=1e-5)
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_dropout_deterministic_and_tiling_invariant(qkv):
+    q, k, v, mask = qkv
+    kw = dict(dropout_rate=0.5, dropout_seed=1, interpret=True)
+    d1 = flash_attention(q, k, v, mask, block_q=16, block_k=16, **kw)
+    d1b = flash_attention(q, k, v, mask, block_q=16, block_k=16, **kw)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d1b))
+    # different seed -> different mask
+    d2 = flash_attention(q, k, v, mask, block_q=16, block_k=16,
+                         dropout_rate=0.5, dropout_seed=2, interpret=True)
+    assert not np.allclose(np.asarray(d1), np.asarray(d2))
+    # the hash uses GLOBAL coordinates: tiling must not change the mask
+    d1t = flash_attention(q, k, v, mask, block_q=8, block_k=32, **kw)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d1t),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_all_masked_rows_return_zero():
+    rng = np.random.default_rng(4)
+    q = _rand(rng, 1, 2, 9, 8)
+    k = _rand(rng, 1, 2, 11, 8)
+    v = _rand(rng, 1, 2, 11, 8)
+    mask = jnp.zeros((1, 11), bool)
+    out = flash_attention(q, k, v, mask, block_q=8, block_k=8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+
+def test_mha_flash_path_matches_dense_eval():
+    """MultiheadAttention(use_flash=True) == dense path at eval (dropout
+    off), including the key-padding mask."""
+    from medtok_tpu.models.layers import MultiheadAttention
+
+    rng = np.random.default_rng(5)
+    B, L, E = 2, 21, 32
+    x = _rand(rng, B, L, E)
+    mask = jnp.asarray(rng.random((B, L)) > 0.4).at[:, 0].set(True)
+    dense = MultiheadAttention(E, 4, 0.5, use_flash=False)
+    flash = MultiheadAttention(E, 4, 0.5, use_flash=True)
+    params = dense.init({"params": jax.random.PRNGKey(0)}, x, x, x, mask)
+    a = dense.apply(params, x, x, x, mask, deterministic=True)
+    b = flash.apply(params, x, x, x, mask, deterministic=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_ehr_model_flash_matches_dense_eval_and_trains():
+    """EHRModel(use_flash=True) eval logits == dense; a train-mode grad step
+    (flash dropout inside the kernel) is finite and updates params."""
+    import optax
+
+    from medtok_tpu.ehr.dataset import EHRBatch
+    from medtok_tpu.ehr.model import EHRModel
+
+    rng = np.random.default_rng(6)
+    B, C, V = 2, 13, 40
+    table = rng.standard_normal((V, 256)).astype(np.float32)
+    batch = EHRBatch(
+        codes=jnp.asarray(rng.integers(0, V + 1, (B, C))),
+        visit_ids=jnp.asarray(rng.integers(0, 3, (B, C))),
+        time_within=jnp.asarray(rng.integers(0, 20, (B, 5, 3)), jnp.int32),
+        time_between=jnp.asarray(rng.integers(0, 20, (B, 5, 3)), jnp.int32),
+        pad_mask=jnp.asarray(rng.random((B, C)) > 0.7),
+        gender=jnp.asarray(rng.integers(0, 2, (B,))),
+        ethnicity=jnp.asarray(rng.integers(0, 4, (B,))),
+        label_onehot=jnp.asarray(np.eye(2)[rng.integers(0, 2, B)], jnp.float32),
+        label_raw=jnp.asarray(rng.integers(0, 2, (B,))),
+    )
+    kw = dict(embedding_table=table, num_class=2, input_dim=16,
+              output_dim=16, num_heads=2, hidden_dim=32, num_layers=1,
+              dropout=0.3)
+    dense = EHRModel(**kw, use_flash=False)
+    flash = EHRModel(**kw, use_flash=True)
+    params = dense.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, train=False,
+    )["params"]
+    _, la = dense.apply({"params": params}, batch, train=False)
+    _, lb = flash.apply({"params": params}, batch, train=False)
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss_fn(p):
+        _, logits = flash.apply(
+            {"params": p}, batch, train=True,
+            rngs={"dropout": jax.random.PRNGKey(2)},
+        )
+        return jnp.mean(optax.softmax_cross_entropy(logits, batch.label_onehot))
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    gnorm = optax.global_norm(grads)
+    assert np.isfinite(float(gnorm)) and float(gnorm) > 0
