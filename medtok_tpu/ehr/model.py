@@ -106,6 +106,8 @@ class EHRModel(nn.Module):
     dropout: float = 0.5
     max_year: int = 1000
     use_flash: bool = False      # Pallas flash attention in the encoder
+    pe_dropout: float = 0.2      # PositionalEncoding dropout
+                                 # (hardcoded 0.2 in EHRModel_token.py:217)
 
     def setup(self):
         emb_dim = self.embedding_table.shape[1]
@@ -119,8 +121,8 @@ class EHRModel(nn.Module):
         self.ethnicity_emb = nn.Embed(100, self.input_dim, name="ethnicity_emb")
         self.projector = nn.Dense(self.input_dim, name="projector")
         self.position_encoder = PositionalEncoding(
-            d_model=self.output_dim, dropout=0.2, max_year=self.max_year,
-            name="position_encoder",
+            d_model=self.output_dim, dropout=self.pe_dropout,
+            max_year=self.max_year, name="position_encoder",
         )
         self.layers = [
             TransformerEncoderLayer(

@@ -127,6 +127,7 @@ class EHRTrainConfig:
     # with long sequences, where the dense [B,H,L,L] score tensor would cost
     # ~L^2 memory — 16 GB fp32 at the reference B=256, L=2003)
     flash_attention: bool | str = "auto"
+    pe_dropout: float = 0.2   # PositionalEncoding rate (EHRModel_token.py:217)
 
 
 class EHRTrainer:
@@ -156,7 +157,7 @@ class EHRTrainer:
             input_dim=cfg.input_dim, output_dim=cfg.output_dim,
             num_heads=cfg.num_heads, hidden_dim=cfg.hidden_dim,
             num_layers=cfg.num_layers, dropout=cfg.dropout,
-            use_flash=bool(use_flash),
+            use_flash=bool(use_flash), pe_dropout=cfg.pe_dropout,
         )
         self.tx = self._make_tx(steps_per_epoch=1)
         self._train_step = self._build_train_step()

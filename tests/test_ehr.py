@@ -278,14 +278,26 @@ def test_ehr_dp_training_matches_single_device(ehr_env):
 
     # dropout rngs differ (per-device fold_in) so run a deterministic check:
     # dropout=0.5 means stochastic — compare with dropout disabled instead
+    # pe_dropout=0 too: the PositionalEncoding's own dropout (reference
+    # hardcodes 0.2) is the one remaining stochastic path in train mode,
+    # and the dp step folds the rng per device
     cfg0 = EHRTrainConfig(
         task="readmission", batch_size=8, epochs=1, num_layers=1,
         hidden_dim=32, input_dim=64, output_dim=64, max_visits=10,
-        max_medical_code=64, dropout=0.0,
+        max_medical_code=64, dropout=0.0, pe_dropout=0.0,
     )
+    import optax
+
     single = EHRTrainer(cfg0, table, num_class)
-    p1, o1 = single.init(batch)
     sharded = EHRTrainer(cfg0, table, num_class, mesh=make_mesh(dp=8, tp=1))
+    # SGD instead of Adam for the equality check: Adam's step-1 update is
+    # g/(|g|+eps) ~ sign(g), which amplifies fp-reduction-order noise for
+    # eps-scale grads (and normalizes away any real grad-scale bug anyway);
+    # SGD exposes the pmean'd grads linearly through the real step path
+    for t in (single, sharded):
+        t.tx = optax.sgd(0.1)
+        t._train_step = t._build_train_step()
+    p1, o1 = single.init(batch)
     p1n, _, loss1, probs1 = single._train_step(p1, o1, batch, rng)
     p2n, _, loss2, probs2 = sharded._train_step(p1, o1, batch, rng)
 
@@ -295,7 +307,7 @@ def test_ehr_dp_training_matches_single_device(ehr_env):
     )
     for a, b in zip(jax.tree.leaves(p1n), jax.tree.leaves(p2n)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-4, atol=1e-5)
+                                   rtol=1e-4, atol=1e-6)
 
 
 def test_fit_with_fewer_samples_than_batch(ehr_env):
