@@ -10,8 +10,10 @@ What's measured (the inference.py:24-141 surface, for real):
 - a 600K-code vocabulary in the exact reference schema (synthetic: the env
   ships no real data), PrimeKG-scale KG (130K nodes / 4M edges);
 - the TIMED phase covers the full host data path — C++ WordPiece
-  tokenization of every description, per-code subgraph extraction + batch
-  packing (csrc/) — overlapped with the device eval sweep via async dispatch;
+  tokenization of every description (thread-pool batch encode), per-code
+  subgraph extraction + batch packing (csrc/) — the vocab sweeps in shards
+  so the host tokenizes shard s+1 while the device runs shard s (async
+  dispatch): the whole host path hides under device compute;
 - batches of 2048 in length-sorted bucket order (16/32/64 text tokens; the
   reference pads everything to 512 — the single biggest FLOP waste on this
   workload), so the Pallas fused top-k kernel is on the measured path
@@ -128,23 +130,37 @@ def main() -> None:
         float(eval_step(jnp.zeros(()), params, usage, dummy[L]))
 
     # ------------------------- TIMED END-TO-END -------------------------
-    t0 = time.perf_counter()
-    dataset.warm_cache(tokenize=True)  # C++ WordPiece over all descriptions
-    lens = np.fromiter(
-        (len(dataset.text_ids(i)) for i in range(N_CODES)), np.int64, N_CODES
-    )
-    order = np.argsort(lens, kind="stable")  # length-homogeneous batches
-    t_tok = time.perf_counter() - t0
+    # The vocab sweeps in NSHARDS slices: the host tokenizes shard s+1 (C++
+    # WordPiece, GIL released) WHILE the device runs shard s's batches —
+    # eval_step dispatch is async, so the serial-tokenize phase of the old
+    # flow (~13 s of the 57 s round-2 number) hides under device compute.
+    # Length-sorting happens within each shard: batches stay length-
+    # homogeneous except at the few shard boundaries.
+    NSHARDS = int(os.environ.get("MEDTOK_BENCH_SHARDS", 8))
+    bounds = np.linspace(0, N_CODES, NSHARDS + 1).astype(np.int64)
 
+    t0 = time.perf_counter()
+    dataset.warm_cache(tokenize=False)  # node lists (one dataframe pass)
     carry = jnp.zeros((), jnp.float32)
-    n_pallas_rows = 0
-    for start in range(0, N_CODES, BATCH):
-        idxs = order[start:start + BATCH]
-        if len(idxs) < BATCH:  # pad the tail (static shapes)
-            idxs = np.concatenate([idxs, np.repeat(idxs[-1], BATCH - len(idxs))])
-        batch = dataset.make_batch([int(i) for i in idxs], aug_seed=None)
-        carry = eval_step(carry, params, usage, batch)  # async dispatch
-        n_pallas_rows += BATCH
+    t_tok = 0.0
+    for s in range(NSHARDS):
+        lo, hi = int(bounds[s]), int(bounds[s + 1])
+        tt = time.perf_counter()
+        dataset.tokenize_rows(range(lo, hi))
+        lens = np.fromiter(
+            (len(dataset.text_ids(i)) for i in range(lo, hi)), np.int64,
+            hi - lo,
+        )
+        t_tok += time.perf_counter() - tt   # host-side, mostly overlapped
+        order = lo + np.argsort(lens, kind="stable")
+        for start in range(0, hi - lo, BATCH):
+            idxs = order[start:start + BATCH]
+            if len(idxs) < BATCH:  # pad the tail (static shapes)
+                idxs = np.concatenate(
+                    [idxs, np.repeat(idxs[-1], BATCH - len(idxs))]
+                )
+            batch = dataset.make_batch([int(i) for i in idxs], aug_seed=None)
+            carry = eval_step(carry, params, usage, batch)  # async dispatch
     checksum = float(carry)  # blocks until the whole chained sweep finished
     wall = time.perf_counter() - t0
     assert np.isfinite(checksum)
@@ -163,8 +179,8 @@ def main() -> None:
         ),
         "num_codes": N_CODES,
         "wall_s": round(wall, 2),
-        "tokenize_s": round(t_tok, 2),
-        "embed_s": round(wall - t_tok, 2),
+        "tokenize_s": round(t_tok, 2),   # host-side; overlapped with device
+        "n_shards": NSHARDS,
         "batch": BATCH,
         "n_chips": n_chips,
         "checksum": checksum,

@@ -139,20 +139,26 @@ class MedCodeDataset:
             np.sort(np.asarray(list(v), np.int64)) for v in values
         ]
         if tokenize:
-            enc = self._encoder
-            max_len = self.cfg.max_text_length
-            cache = self._text_cache
-            descs = self.df["desc"].to_numpy()
-            missing = [i for i in range(len(descs)) if i not in cache]
-            if missing and hasattr(enc, "encode_batch"):
-                # multithreaded C++ bulk path (GIL released for the batch)
-                encoded = enc.encode_batch(
-                    [str(descs[i]) for i in missing], max_length=max_len
-                )
-                cache.update(zip(missing, encoded))
-            else:
-                for i in missing:
-                    cache[i] = enc.encode(str(descs[i]), max_length=max_len)[0]
+            self.tokenize_rows(range(len(self.df)))
+
+    def tokenize_rows(self, rows) -> None:
+        """Tokenize (and cache) the descriptions of ``rows`` — the host half
+        of the export sweep, shardable so tokenization of shard i+1 overlaps
+        the device compute of shard i (async dispatch)."""
+        enc = self._encoder
+        max_len = self.cfg.max_text_length
+        cache = self._text_cache
+        descs = self.df["desc"].to_numpy()
+        missing = [i for i in rows if i not in cache]
+        if missing and hasattr(enc, "encode_batch"):
+            # multithreaded C++ bulk path (GIL released for the batch)
+            encoded = enc.encode_batch(
+                [str(descs[i]) for i in missing], max_length=max_len
+            )
+            cache.update(zip(missing, encoded))
+        else:
+            for i in missing:
+                cache[i] = enc.encode(str(descs[i]), max_length=max_len)[0]
 
     def save_text_cache(self) -> None:
         """Persist the tokenized descriptions (call after a full pass)."""
