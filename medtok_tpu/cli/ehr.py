@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "visible (the reference trains Lightning DDP over "
                         "every GPU, MedTok_EHR.py:230). Falls back to 1 when "
                         "batch size does not divide.")
+    p.add_argument("--flash", type=str, default="auto",
+                   choices=["auto", "on", "off"],
+                   help="Pallas flash attention in the encoder (auto = on "
+                        "TPU with long sequences)")
     p.add_argument("--wandb", action="store_true",
                    help="mirror per-run metrics to wandb (WandbLogger, "
                         "MedTok_EHR.py:316-330); metrics.jsonl is always "
@@ -143,6 +147,7 @@ def main(argv=None) -> None:
             output_dim=args.output_dim, num_heads=args.num_heads,
             max_visits=args.max_visits, max_medical_code=args.max_medical_code,
             seed=hp.get("seed", args.seed),
+            flash_attention={"auto": "auto", "on": True, "off": False}[args.flash],
         )
         trainer = EHRTrainer(cfg, table, num_class, mesh=mesh)
 
