@@ -38,7 +38,7 @@ import time
 import numpy as np
 
 N_CODES = int(os.environ.get("MEDTOK_BENCH_CODES", 600_000))
-BATCH = 2048
+BATCH = int(os.environ.get("MEDTOK_BENCH_BATCH", 2048))
 TARGET_CODES_PER_SEC_PER_CHIP = 10_000.0 / 8  # 600K/60s on v5e-8
 KG_NODES = 130_000
 KG_EDGES = 4_000_000
@@ -172,6 +172,7 @@ def main() -> None:
 
     # ---------------- compiled-on-TPU Pallas vs XLA top-k ----------------
     kernel = kernel_ab(jax, jnp)
+    kernel.update(flash_ab(jax, jnp))
 
     n_chips = jax.device_count()
     codes_per_sec = N_CODES / wall
@@ -235,6 +236,50 @@ def kernel_ab(jax, jnp) -> dict:
         "kernel_pallas_ms": round(pal_ms, 2),
         "kernel_speedup": round(xla_ms / pal_ms, 2),
         "kernel_shape": f"{B}x{N}x{D} k={K}",
+    }
+
+
+def flash_ab(jax, jnp) -> dict:
+    """Compiled flash attention vs dense XLA attention at the EHR encoder
+    shape (B=32, H=4, L=2048, Dh=16 — the seq-2003 visit history padded);
+    numeric equality + interleaved timing."""
+    from medtok_tpu.ops.flash_attention import (
+        flash_attention,
+        reference_attention,
+    )
+
+    if jax.default_backend() != "tpu":
+        return {"flash_check": "skipped (no tpu)"}
+
+    B, H, L, Dh = 32, 4, 2048, 16
+    rng = np.random.default_rng(11)
+    q = jnp.asarray(rng.standard_normal((B, H, L, Dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, L, Dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, L, Dh)), jnp.float32)
+    mask = jnp.asarray(rng.random((B, L)) > 0.2).at[:, :3].set(True)
+
+    dense = jax.jit(lambda q, k, v: reference_attention(q, k, v, mask))
+    flash = jax.jit(lambda q, k, v: flash_attention(q, k, v, mask))
+
+    a = np.asarray(dense(q, k, v))
+    b = np.asarray(flash(q, k, v))
+    close = bool(np.allclose(a, b, rtol=2e-4, atol=2e-4))
+
+    times = {"dense": [], "flash": []}
+    for trial in range(4):
+        for name, fn in (("dense", dense), ("flash", flash)):
+            t0 = time.perf_counter()
+            float(jnp.sum(fn(q, k, v)))  # force
+            if trial:
+                times[name].append(time.perf_counter() - t0)
+    d_ms = 1e3 * min(times["dense"])
+    f_ms = 1e3 * min(times["flash"])
+    return {
+        "flash_numerics_close": close,
+        "flash_dense_ms": round(d_ms, 2),
+        "flash_pallas_ms": round(f_ms, 2),
+        "flash_speedup": round(d_ms / f_ms, 2),
+        "flash_shape": f"{B}x{H}x{L}x{Dh}",
     }
 
 

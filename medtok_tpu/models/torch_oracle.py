@@ -93,6 +93,27 @@ def _linear(sd: dict, prefix: str) -> dict:
     }
 
 
+def convert_torch_encoder_layer(sd: dict, prefix: str = "") -> dict:
+    """torch ``nn.TransformerEncoderLayer`` (post-norm, ReLU — the EHR
+    encoder's building block, EHRModel_token.py:236) -> our
+    ehr.model.TransformerEncoderLayer params."""
+    p = prefix + "." if prefix else ""
+
+    def norm(name):
+        return {
+            "scale": _np(sd[f"{p}{name}.weight"]).copy(),
+            "bias": _np(sd[f"{p}{name}.bias"]).copy(),
+        }
+
+    return {
+        "self_attn": convert_torch_mha(sd, f"{p}self_attn"),
+        "norm1": norm("norm1"),
+        "norm2": norm("norm2"),
+        "linear1": _linear(sd, f"{p}linear1"),
+        "linear2": _linear(sd, f"{p}linear2"),
+    }
+
+
 def convert_torch_quantizer(sd: dict, *, num_layers: int = 2) -> dict:
     """Reference ``VectorQuantizer.state_dict()`` -> SoftVQQuantizer params.
 

@@ -278,6 +278,47 @@ def test_torch_mha_converter_matches_reference_module():
     )
 
 
+def test_torch_transformer_encoder_layer_parity():
+    """EHR encoder building block vs the live torch oracle:
+    torch.nn.TransformerEncoderLayer (post-norm, ReLU, batch_first — the
+    reference stacks these at EHRModel_token.py:236-237) == our
+    ehr.model.TransformerEncoderLayer with converted weights, including the
+    key-padding mask, on both the dense and the Pallas flash path."""
+    from medtok_tpu.ehr.model import TransformerEncoderLayer
+    from medtok_tpu.models.torch_oracle import convert_torch_encoder_layer
+
+    torch.manual_seed(3)
+    E, H, FF = 32, 4, 64
+    t_layer = torch.nn.TransformerEncoderLayer(
+        E, H, dim_feedforward=FF, dropout=0.3, batch_first=True
+    )
+    t_layer.eval()
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, 11, E)).astype(np.float32)
+    pad = rng.random((2, 11)) > 0.7      # True = padding
+    pad[:, 0] = False
+    with torch.no_grad():
+        t_out = t_layer(
+            torch.from_numpy(x),
+            src_key_padding_mask=torch.from_numpy(pad),
+        ).numpy()
+
+    params = convert_torch_encoder_layer(t_layer.state_dict())
+    for use_flash in (False, True):
+        f_layer = TransformerEncoderLayer(E, H, FF, dropout=0.3,
+                                          use_flash=use_flash)
+        f_out = f_layer.apply(
+            {"params": params}, jnp.asarray(x), jnp.asarray(pad),
+            deterministic=True,
+        )
+        # torch writes NaN rows for fully-padded queries... none here; all
+        # real rows must match (padded-key columns are masked identically)
+        np.testing.assert_allclose(
+            np.asarray(f_out), t_out, rtol=2e-5, atol=2e-5,
+            err_msg=f"use_flash={use_flash}",
+        )
+
+
 def test_cross_attention_batched_equals_per_sample_loop():
     """The rebuild's masked batched CrossAttention vs the reference's
     variable-length per-sample loop, through the reference module itself."""
