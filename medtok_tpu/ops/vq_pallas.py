@@ -65,7 +65,7 @@ def _topk_kernel(z_ref, zsq_ref, e_ref, esq_ref, vals_ref, idx_ref, *, k: int,
     # merge with the running list. Within each scan, ties resolve to the
     # lowest column position; running entries (globally lower indices) are
     # placed before the tile's, so position order == global index order.
-    tile_v, tile_i = _scan_topk(d, col_ids, k)
+    tile_v, tile_i = _scan_topk(d, None, k, id_base=base)
 
     cand_v = jnp.concatenate([vals_ref[:], tile_v], axis=1)   # [TB, 2k]
     cand_i = jnp.concatenate([idx_ref[:], tile_i], axis=1)
@@ -74,9 +74,13 @@ def _topk_kernel(z_ref, zsq_ref, e_ref, esq_ref, vals_ref, idx_ref, *, k: int,
     idx_ref[:] = new_i
 
 
-def _scan_topk(values, ids, k):
+def _scan_topk(values, ids, k, *, id_base=None):
     """k smallest per row by k min+mask passes; first-position tie-break.
-    Static-unrolled (Mosaic has no scatter; outputs built with where/iota)."""
+    Static-unrolled (Mosaic has no scatter; outputs built with where/iota).
+
+    ``id_base`` (tile scan): ids are known to be base + column position, so
+    the selected index is base + first — skipping the full-width masked-sum
+    select, the most expensive op of each pass on the [TB, TN] tile."""
     tb = values.shape[0]
     pos = jax.lax.broadcasted_iota(jnp.int32, values.shape, 1)
     out_col = jax.lax.broadcasted_iota(jnp.int32, (tb, k), 1)
@@ -87,11 +91,15 @@ def _scan_topk(values, ids, k):
         first = jnp.min(
             jnp.where(values == m, pos, jnp.int32(2**30)), axis=1, keepdims=True
         )
-        sel = pos == first
-        sel_idx = jnp.sum(jnp.where(sel, ids, 0), axis=1, keepdims=True)
+        if id_base is not None:
+            sel_idx = id_base + first
+        else:
+            sel_idx = jnp.sum(
+                jnp.where(pos == first, ids, 0), axis=1, keepdims=True
+            )
         out_v = jnp.where(out_col == s, m, out_v)
         out_i = jnp.where(out_col == s, sel_idx, out_i)
-        values = jnp.where(sel, _INF, values)
+        values = jnp.where(pos == first, _INF, values)
     return out_v, out_i
 
 
