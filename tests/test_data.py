@@ -254,3 +254,18 @@ def test_pretrained_artifact_api(dataset, tmp_path, kg_files):
     assert api.encode(code).shape == (20,)
     with pytest.raises(KeyError):
         api.embed("NOPE")
+
+
+def test_tokenize_rows_sharded_equals_full(kg_files, tokenizer):
+    """Sharded tokenize_rows (the bench's overlap path) caches exactly what
+    per-text encode produces, independent of shard boundaries/overlap."""
+    cfg = DataConfig(text_buckets=(16, 32), node_buckets=(8, 16),
+                     edge_buckets=(16, 64), max_text_length=32)
+    ds = MedCodeDataset(kg_files / "kg.csv", kg_files / "codes.parquet",
+                        tokenizer, cfg=cfg)
+    ds.warm_cache(tokenize=False)
+    ds.tokenize_rows(range(10, 25))          # middle shard first
+    ds.tokenize_rows(range(0, 40))           # rest + already-cached overlap
+    for i in range(40):
+        ref_ids, _ = tokenizer.encode(str(ds.df["desc"].iloc[i]), max_length=32)
+        np.testing.assert_array_equal(ds.text_ids(i), ref_ids)
