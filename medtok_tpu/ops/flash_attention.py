@@ -72,9 +72,10 @@ def _flash_kernel(
     k = k_ref[0]                     # [bk, Dh]
     v = v_ref[0]
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST
     ) * sm_scale                     # [bq, bk]
-    valid = mask_ref[:] != 0         # [1, bk] -> broadcasts
+    valid = mask_ref[0] != 0         # [1, bk] -> broadcasts
     s = jnp.where(valid, s, _MASKED)
 
     m_prev = m_scratch[:]            # [bq, LANES], all lanes equal
@@ -100,6 +101,7 @@ def _flash_kernel(
     acc_scratch[:] = acc_scratch[:] * alpha[:, :1] + jax.lax.dot_general(
         p_num.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
     @pl.when(ki == pl.num_programs(2) - 1)
@@ -131,11 +133,13 @@ def _prob_and_t(q, k, v, do, valid, lse, d_term, *, sm_scale, dropout_rate,
                 seed, bh, row0, col0, bq, bk):
     """Shared bwd tile math: (a = p/l [bq,bk], ds [bq,bk], ã [bq,bk])."""
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST
     ) * sm_scale
     a = jnp.where(valid, jnp.exp(s - lse), 0.0)          # [bq, bk]
     t = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )                                                     # dO·V^T [bq, bk]
     if dropout_rate > 0.0:
         bits = _uniform_hash(seed, bh, row0, col0, bq, bk)
@@ -162,7 +166,7 @@ def _flash_bwd_dq_kernel(
         dq_acc[:] = jnp.zeros_like(dq_acc)
 
     ds, _ = _prob_and_t(
-        q_ref[0], k_ref[0], v_ref[0], do_ref[0], mask_ref[:] != 0,
+        q_ref[0], k_ref[0], v_ref[0], do_ref[0], mask_ref[0] != 0,
         lse_ref[0], dd_ref[0],
         sm_scale=sm_scale, dropout_rate=dropout_rate,
         seed=seed_ref[0], bh=pl.program_id(0),
@@ -172,6 +176,7 @@ def _flash_bwd_dq_kernel(
     dq_acc[:] += sm_scale * jax.lax.dot_general(
         ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
     @pl.when(ki == pl.num_programs(2) - 1)
@@ -193,7 +198,7 @@ def _flash_bwd_dkv_kernel(
 
     q, do = q_ref[0], do_ref[0]
     ds, a_drop = _prob_and_t(
-        q, k_ref[0], v_ref[0], do, mask_ref[:] != 0,
+        q, k_ref[0], v_ref[0], do, mask_ref[0] != 0,
         lse_ref[0], dd_ref[0],
         sm_scale=sm_scale, dropout_rate=dropout_rate,
         seed=seed_ref[0], bh=pl.program_id(0),
@@ -204,10 +209,12 @@ def _flash_bwd_dkv_kernel(
     dv_acc[:] += jax.lax.dot_general(
         a_drop.astype(do.dtype), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     dk_acc[:] += sm_scale * jax.lax.dot_general(
         ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
     @pl.when(qi == pl.num_programs(2) - 1)
@@ -246,7 +253,10 @@ def _flash_core_fwd(qf, kf, vf, maskf, seed_arr, H, sm_scale, dropout_rate,
                 pl.BlockSpec((1, block_k, Dh), lambda b, qi, ki, *_: (b, ki, 0)),
                 pl.BlockSpec((1, block_k, Dh), lambda b, qi, ki, *_: (b, ki, 0)),
                 # per-BATCH key mask, shared across the H heads of a row
-                pl.BlockSpec((1, block_k), lambda b, qi, ki, *_: (b // H, ki)),
+                # ([B, 1, Lk]: TPU block rules need the sublane dim to be a
+                # multiple of 8 or the full array dim — 1 qualifies as full)
+                pl.BlockSpec((1, 1, block_k),
+                             lambda b, qi, ki, *_: (b // H, 0, ki)),
             ],
             out_specs=(
                 pl.BlockSpec((1, block_q, Dh), lambda b, qi, ki, *_: (b, qi, 0)),
@@ -280,7 +290,8 @@ def _flash_core_bwd(H, sm_scale, dropout_rate, blocks, interpret, res, g):
     q_spec = pl.BlockSpec((1, block_q, Dh), lambda b, qi, ki, *_: (b, qi, 0))
     r_spec = pl.BlockSpec((1, block_q, 1), lambda b, qi, ki, *_: (b, qi, 0))
     k_spec = pl.BlockSpec((1, block_k, Dh), lambda b, qi, ki, *_: (b, ki, 0))
-    m_spec = pl.BlockSpec((1, block_k), lambda b, qi, ki, *_: (b // H, ki))
+    m_spec = pl.BlockSpec((1, 1, block_k),
+                          lambda b, qi, ki, *_: (b // H, 0, ki))
 
     dq = pl.pallas_call(
         functools.partial(
@@ -302,7 +313,8 @@ def _flash_core_bwd(H, sm_scale, dropout_rate, blocks, interpret, res, g):
     q_spec2 = pl.BlockSpec((1, block_q, Dh), lambda b, ki, qi, *_: (b, qi, 0))
     r_spec2 = pl.BlockSpec((1, block_q, 1), lambda b, ki, qi, *_: (b, qi, 0))
     k_spec2 = pl.BlockSpec((1, block_k, Dh), lambda b, ki, qi, *_: (b, ki, 0))
-    m_spec2 = pl.BlockSpec((1, block_k), lambda b, ki, qi, *_: (b // H, ki))
+    m_spec2 = pl.BlockSpec((1, 1, block_k),
+                           lambda b, ki, qi, *_: (b // H, 0, ki))
     dk, dv = pl.pallas_call(
         functools.partial(
             _flash_bwd_dkv_kernel, sm_scale=sm_scale,
@@ -358,6 +370,10 @@ def flash_attention(
         sm_scale = 1.0 / float(np.sqrt(Dh))
     block_q = min(block_q, max(Lq, 8))
     block_k = min(block_k, max(Lk, 8))
+    if not interpret:
+        # Mosaic block rules: sublane multiple of 8, lane multiple of 128
+        block_q = -(-block_q // 8) * 8
+        block_k = -(-block_k // 128) * 128
 
     pq = (-Lq) % block_q
     pk = (-Lk) % block_k
@@ -374,6 +390,7 @@ def flash_attention(
     qf = q.reshape(B * H, Lqp, Dh)
     kf = k.reshape(B * H, Lkp, Dh)
     vf = v.reshape(B * H, Lkp, Dh)
+    key_mask = key_mask[:, None, :]          # [B, 1, Lkp]
     seed_arr = jnp.reshape(jnp.asarray(dropout_seed, jnp.int32), (1,))
     out = _flash_core(
         qf, kf, vf, key_mask, seed_arr, H, float(sm_scale),
@@ -382,14 +399,19 @@ def flash_attention(
     return out.reshape(B, H, Lqp, Dh)[:, :, :Lq, :]
 
 
-def reference_attention(q, k, v, key_mask=None, *, sm_scale=None):
-    """Dense O(L^2) reference (the models/layers.py math) for testing."""
+def reference_attention(q, k, v, key_mask=None, *, sm_scale=None,
+                        precision="highest"):
+    """Dense O(L^2) reference (the models/layers.py math) for testing.
+    precision="highest" matches the kernel's bf16x3 exact-f32 matmuls
+    (single-pass default differs by ~1e-3 on the MXU)."""
     Dh = q.shape[-1]
     if sm_scale is None:
         sm_scale = 1.0 / float(np.sqrt(Dh))
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                   preferred_element_type=jnp.float32) * sm_scale
+                   preferred_element_type=jnp.float32,
+                   precision=precision) * sm_scale
     if key_mask is not None:
         s = jnp.where(key_mask[:, None, None, :].astype(bool), s, _MASKED)
     p = jax.nn.softmax(s, axis=-1)
-    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+                      precision=precision)
