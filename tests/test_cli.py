@@ -132,6 +132,51 @@ def test_ehr_cli(workspace, tmp_path):
     assert hs["results"][0]["best_val"]["aupr"] >= hs["results"][1]["best_val"]["aupr"]
 
 
+def test_qa_cli_real_tokenizer(workspace, tmp_path):
+    """cli.qa through the REAL BPE tokenizer + Llama-3 chat template
+    (--tokenizer-json), tiny random LLM: finetune then eval produce an
+    adapter and an accuracy line through the full decode path."""
+    tokenizers = pytest.importorskip("tokenizers")
+    from tokenizers import Tokenizer, decoders, models, pre_tokenizers, trainers
+
+    tok = Tokenizer(models.BPE())
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    tok.decoder = decoders.ByteLevel()
+    trainer = trainers.BpeTrainer(
+        vocab_size=500,  # < TINY_LLAMA.vocab_size=512 so ids stay in range
+        special_tokens=["<|begin_of_text|>", "<|end_of_text|>",
+                        "<|start_header_id|>", "<|end_header_id|>",
+                        "<|eot_id|>"],
+        initial_alphabet=pre_tokenizers.ByteLevel.alphabet(),
+    )
+    corpus = ["medical question about diabetes", "Answer: A", "Answer: B",
+              "acute renal failure", "insulin or metformin therapy"]
+    tok.train_from_iterator(corpus * 4, trainer)
+    tok.save(str(tmp_path / "tokenizer.json"))
+
+    emb = np.random.default_rng(1).normal(size=(40, 256)).astype(np.float32)
+    np.save(tmp_path / "emb.npy", emb)
+    rows = [
+        {"input": [f"question {i}?", "A"], "medical_codes": [i % 40]}
+        for i in range(8)
+    ]
+    (tmp_path / "qa.json").write_text(json.dumps(rows))
+    common = [
+        "--data", str(tmp_path / "qa.json"),
+        "--embedding-path", str(tmp_path / "emb.npy"),
+        "--tiny", "--tokenizer-json", str(tmp_path / "tokenizer.json"),
+        "--cutoff-len", "8", "--batch-size", "4", "--lora-r", "2",
+    ]
+    r = _run("medtok_tpu.cli.qa", "finetune", *common,
+             "--adapter-path", str(tmp_path / "adapter"))
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert (tmp_path / "adapter" / "lora_params.pkl").exists()
+
+    r2 = _run("medtok_tpu.cli.qa", "eval", *common, "--max-new-tokens", "2")
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert "Accuracy:" in r2.stdout + r2.stderr
+
+
 def test_qa_cli_tiny(workspace, tmp_path):
     d = workspace
     emb = np.random.default_rng(1).normal(size=(40, 256)).astype(np.float32)
