@@ -274,13 +274,32 @@ def flash_ab(jax, jnp) -> dict:
                 times[name].append(time.perf_counter() - t0)
     d_ms = 1e3 * min(times["dense"])
     f_ms = 1e3 * min(times["flash"])
-    return {
+    out = {
         "flash_numerics_close": close,
         "flash_dense_ms": round(d_ms, 2),
         "flash_pallas_ms": round(f_ms, 2),
         "flash_speedup": round(d_ms / f_ms, 2),
         "flash_shape": f"{B}x{H}x{L}x{Dh}",
     }
+
+    # the real point at this Dh is MEMORY: at the reference EHR batch size
+    # 256 (MedTok_EHR.py:56) the dense [B,H,L,L] scores are ~17 GB fp32 —
+    # more than a v5e chip's HBM. Show flash running the full batch.
+    B2 = 256
+    q2 = jnp.asarray(rng.standard_normal((B2, H, L, Dh)), jnp.float32)
+    k2 = jnp.asarray(rng.standard_normal((B2, H, L, Dh)), jnp.float32)
+    v2 = jnp.asarray(rng.standard_normal((B2, H, L, Dh)), jnp.float32)
+    mask2 = jnp.asarray(rng.random((B2, L)) > 0.2).at[:, :3].set(True)
+    flash2 = jax.jit(lambda q, k, v: flash_attention(q, k, v, mask2))
+    try:
+        float(jnp.sum(flash2(q2, k2, v2)))  # compile + run
+        t0 = time.perf_counter()
+        float(jnp.sum(flash2(q2, k2, v2)))
+        out["flash_b256_ms"] = round(1e3 * (time.perf_counter() - t0), 2)
+        out["flash_b256_note"] = "dense needs ~17GB scores: does not fit HBM"
+    except Exception as e:  # shared-pool memory pressure — report, don't die
+        out["flash_b256_ms"] = f"failed: {type(e).__name__}"
+    return out
 
 
 if __name__ == "__main__":
