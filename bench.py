@@ -129,6 +129,14 @@ def main() -> None:
             + jnp.sum(out.weights)
         )
 
+    if os.environ.get("MEDTOK_BENCH_PACKED", "0") == "1":
+        res = run_packed_sweep(jax, jnp, model, params, usage, dataset)
+        emit_result(jax, jnp, res["wall_s"], res["tokenize_s"],
+                    res["checksum"],
+                    {k: v for k, v in res.items()
+                     if k not in ("wall_s", "tokenize_s", "checksum")})
+        return
+
     # compile every bucket shape before the clock starts (the reference's
     # CUDA kernels are precompiled too; XLA programs are the equivalent)
     for L in buckets:
@@ -170,10 +178,13 @@ def main() -> None:
     wall = time.perf_counter() - t0
     assert np.isfinite(checksum)
 
-    # ---------------- compiled-on-TPU Pallas vs XLA top-k ----------------
+    emit_result(jax, jnp, wall, t_tok, checksum,
+                {"n_shards": NSHARDS, "batch": BATCH})
+
+
+def emit_result(jax, jnp, wall, t_tok, checksum, extra) -> None:
     kernel = kernel_ab(jax, jnp)
     kernel.update(flash_ab(jax, jnp))
-
     n_chips = jax.device_count()
     codes_per_sec = N_CODES / wall
     print(json.dumps({
@@ -186,12 +197,134 @@ def main() -> None:
         "num_codes": N_CODES,
         "wall_s": round(wall, 2),
         "tokenize_s": round(t_tok, 2),   # host-side; overlapped with device
-        "n_shards": NSHARDS,
-        "batch": BATCH,
         "n_chips": n_chips,
         "checksum": checksum,
+        **extra,
         **kernel,
     }))
+
+
+def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
+    """Sequence-packed export sweep (data/packing.py): descriptions share
+    fixed [R=256, P=128] BERT rows (ONE compiled text-encoder shape, zero
+    padding inside rows, MXU-shaped attention); the quantizer tail runs at
+    bucketed code counts. Returns the timed result dict."""
+    from medtok_tpu.data.packing import pack_texts
+
+    R, P, LMAX = 256, 128, 64
+    C_BUCKETS = (512, 768, 1024, 1536, 2048, 3072, 4096)
+
+    @jax.jit
+    def bert_step(params, ids, seg, pos):
+        # pairwise mask built ON DEVICE from seg ids (h2d stays [R, P])
+        pm = (seg[:, :, None] == seg[:, None, :]) & (seg[:, :, None] > 0)
+        from medtok_tpu.models.tokenizer_model import MultimodalTokenizer
+
+        return model.apply(
+            {"params": params}, ids, pm, pos,
+            method=MultimodalTokenizer.encode_text_packed,
+        )
+
+    @jax.jit
+    def quant_step(carry, params, usage, flat, gidx, tmask, batch):
+        from medtok_tpu.models.tokenizer_model import MultimodalTokenizer
+
+        out = model.apply(
+            {"params": params, "usage": usage}, flat, gidx, tmask, batch,
+            method=MultimodalTokenizer.tokenize_from_hidden,
+        )
+        return (
+            carry
+            + jnp.sum(out.embedding)
+            + jnp.sum(out.tokens).astype(jnp.float32)
+            + jnp.sum(out.weights)
+        )
+
+    def c_bucket(n):
+        for c in C_BUCKETS:
+            if n <= c:
+                return c
+        return C_BUCKETS[-1]
+
+    # ---- precompile (outside the clock) ----
+    rng = np.random.default_rng(2)
+    dummy_ids = jnp.asarray(rng.integers(1, 100, (R, P)), jnp.int32)
+    dummy_seg = jnp.asarray(
+        np.repeat(np.arange(1, R * P // 16 + 1), 16).reshape(R, P), jnp.int32
+    )
+    dummy_pos = jnp.asarray(np.tile(np.arange(16), R * P // 16).reshape(R, P),
+                            jnp.int32)
+    flat0 = bert_step(params, dummy_ids, dummy_seg, dummy_pos)
+    flat0.block_until_ready()
+    for C in C_BUCKETS:
+        idxs = list(range(min(C, len(dataset))))
+        idxs = (idxs * (C // len(idxs) + 1))[:C]
+        b = dataset.make_batch(idxs, aug_seed=None)
+        gi = jnp.zeros((C, LMAX), jnp.int32)
+        tm = jnp.zeros((C, LMAX), bool).at[:, 0].set(True)
+        float(quant_step(jnp.zeros(()), params, usage, flat0, gi, tm, b))
+
+    # ---- TIMED ----
+    NSHARDS = int(os.environ.get("MEDTOK_BENCH_SHARDS", 8))
+    bounds = np.linspace(0, N_CODES, NSHARDS + 1).astype(np.int64)
+    t0 = time.perf_counter()
+    dataset.warm_cache(tokenize=False)
+    carry = jnp.zeros((), jnp.float32)
+    t_tok = 0.0
+    n_steps = 0
+    for s in range(NSHARDS):
+        lo, hi = int(bounds[s]), int(bounds[s + 1])
+        tt = time.perf_counter()
+        dataset.tokenize_rows(range(lo, hi))
+        texts = [dataset.text_ids(i) for i in range(lo, hi)]
+        lens = np.fromiter((len(t) for t in texts), np.int64, hi - lo)
+        t_tok += time.perf_counter() - tt
+        order = np.argsort(lens, kind="stable")
+
+        i = 0
+        while i < len(order):
+            # simulate row fill to find the largest group fitting R rows
+            rows_used, fill, j = 1, 0, i
+            while j < len(order) and j - i < C_BUCKETS[-1]:
+                n = int(lens[order[j]])
+                if fill + n > P:
+                    if rows_used == R:
+                        break
+                    rows_used, fill = rows_used + 1, 0
+                fill += n
+                j += 1
+            group = order[i:j]
+            i = j
+            C = c_bucket(len(group))
+            pad = np.repeat(group[-1:], C - len(group))
+            idxs = np.concatenate([group, pad]) + lo
+            p = pack_texts(
+                [texts[int(g)] for g in group], row_len=P, num_rows=R,
+                lmax=LMAX,
+            )
+            gi = np.concatenate(
+                [p.gather_idx,
+                 np.repeat(p.gather_idx[-1:], C - len(group), 0)]
+            )
+            tm = np.concatenate(
+                [p.text_mask, np.repeat(p.text_mask[-1:], C - len(group), 0)]
+            )
+            batch = dataset.make_batch([int(x) for x in idxs], aug_seed=None)
+            flat = bert_step(
+                params, jnp.asarray(p.input_ids), jnp.asarray(p.seg_ids),
+                jnp.asarray(p.pos_ids),
+            )
+            carry = quant_step(carry, params, usage, flat,
+                               jnp.asarray(gi), jnp.asarray(tm), batch)
+            n_steps += 1
+    checksum = float(carry)
+    wall = time.perf_counter() - t0
+    assert np.isfinite(checksum)
+    return {
+        "wall_s": wall, "tokenize_s": t_tok, "checksum": checksum,
+        "packed": True, "pack_rows": R, "pack_row_len": P,
+        "n_steps": n_steps, "n_shards": NSHARDS,
+    }
 
 
 def kernel_ab(jax, jnp) -> dict:

@@ -1,0 +1,97 @@
+"""Sequence packing for the text-encoder sweep.
+
+Code descriptions are ~8–30 WordPiece tokens; even with fine length buckets
+the BERT batch carries padding, and at L=8..32 the attention matmuls are far
+below MXU tile size. Packing concatenates many descriptions into fixed
+128-token rows with a block-diagonal attention mask and within-segment
+position ids — numerically identical per-description hidden states (each
+segment sees exactly its own tokens at positions 0..len-1), zero padding
+waste, and MXU-shaped 128x128 attention.
+
+Host side (this module): greedy sequential fill of length-sorted token
+lists into rows, plus the gather map that pulls each description's hidden
+states back out into the standard per-code [B, Lmax] layout consumed by the
+quantizer's cross-attention.
+
+Device side: models/bert.py accepts pairwise [R, P, P] masks + position
+ids; models/tokenizer_model.MultimodalTokenizer.tokenize_packed runs the
+packed text encoder and the regular graph/VQ eval tail.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+
+class PackedText(NamedTuple):
+    """R = rows, P = row length, B = number of packed descriptions."""
+
+    input_ids: np.ndarray   # [R, P] int32 (0 where empty)
+    seg_ids: np.ndarray     # [R, P] int32: 0 = empty, else 1 + code slot
+    pos_ids: np.ndarray     # [R, P] int32 within-segment positions
+    gather_idx: np.ndarray  # [B, Lmax] int32 flat indices into [R*P] rows
+    text_mask: np.ndarray   # [B, Lmax] bool, True = real token
+
+
+def pack_texts(
+    id_lists: list[np.ndarray],
+    *,
+    row_len: int = 128,
+    num_rows: int | None = None,
+    lmax: int | None = None,
+) -> PackedText:
+    """Greedy sequential fill (callers feed length-sorted lists, so rows
+    fill near-perfectly). A description longer than ``row_len`` is not
+    supported (callers bucket texts to <= 64 tokens).
+
+    ``num_rows``/``lmax`` pad the outputs to static shapes for XLA; defaults
+    are the tight values.
+    """
+    B = len(id_lists)
+    lens = [len(t) for t in id_lists]
+    if max(lens, default=0) > row_len:
+        raise ValueError(f"description longer than row_len={row_len}")
+    if lmax is None:
+        lmax = max(lens, default=1)
+
+    rows: list[list[np.ndarray]] = [[]]
+    starts = np.zeros(B, np.int64)
+    row_of = np.zeros(B, np.int64)
+    fill = 0
+    for b, toks in enumerate(id_lists):
+        n = len(toks)
+        if fill + n > row_len:
+            rows.append([])
+            fill = 0
+        row_of[b] = len(rows) - 1
+        starts[b] = fill
+        rows[-1].append(toks)
+        fill += n
+
+    R = num_rows if num_rows is not None else len(rows)
+    if len(rows) > R:
+        raise ValueError(f"packing needs {len(rows)} rows > num_rows={R}")
+    input_ids = np.zeros((R, row_len), np.int32)
+    seg_ids = np.zeros((R, row_len), np.int32)
+    pos_ids = np.zeros((R, row_len), np.int32)
+    for b, toks in enumerate(id_lists):
+        r, s, n = int(row_of[b]), int(starts[b]), len(toks)
+        input_ids[r, s:s + n] = toks
+        seg_ids[r, s:s + n] = b + 1
+        pos_ids[r, s:s + n] = np.arange(n)
+
+    flat_base = row_of * row_len + starts              # [B]
+    offs = np.arange(lmax)[None, :]
+    gather_idx = (flat_base[:, None] + offs).astype(np.int32)
+    text_mask = offs < np.asarray(lens)[:, None]
+    gather_idx = np.where(text_mask, gather_idx, 0)
+    return PackedText(input_ids, seg_ids, pos_ids, gather_idx, text_mask)
+
+
+def pairwise_mask(seg_ids: np.ndarray) -> np.ndarray:
+    """[R, P] segment ids -> [R, P, P] block-diagonal bool mask."""
+    same = seg_ids[:, :, None] == seg_ids[:, None, :]
+    real = seg_ids[:, :, None] > 0
+    return same & real & (seg_ids[:, None, :] > 0)

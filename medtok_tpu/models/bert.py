@@ -25,6 +25,8 @@ class BertSelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask, *, deterministic=True):
+        """mask: [B, L] key mask, or [B, L, L] pairwise mask (sequence
+        packing: block-diagonal over the packed segments)."""
         c = self.cfg
         H = c.num_heads
         Dh = c.hidden_size // H
@@ -38,7 +40,8 @@ class BertSelfAttention(nn.Module):
         logits = jnp.einsum(
             "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
         ) / np.sqrt(Dh)
-        logits = jnp.where(mask[:, None, None, :], logits, -1e9)
+        pair = mask[:, None, :, :] if mask.ndim == 3 else mask[:, None, None, :]
+        logits = jnp.where(pair, logits, -1e9)
         attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
         if not deterministic:
             attn = nn.Dropout(c.attention_dropout)(attn, deterministic=False)
@@ -79,13 +82,17 @@ class BertEncoder(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, input_ids, attention_mask, *, deterministic=True):
+    def __call__(self, input_ids, attention_mask, *, position_ids=None,
+                 deterministic=True):
+        """attention_mask: [B, L], or [B, L, L] pairwise (sequence packing).
+        position_ids: [B, L] — packed rows pass within-segment offsets so
+        each segment sees the same absolute positions as unpacked."""
         c = self.cfg
         mask = attention_mask.astype(bool)
         L = input_ids.shape[1]
         word = nn.Embed(c.vocab_size, c.hidden_size, dtype=self.dtype,
                         name="word_embeddings")(input_ids)
-        pos_ids = jnp.arange(L)[None, :]
+        pos_ids = jnp.arange(L)[None, :] if position_ids is None else position_ids
         pos = nn.Embed(c.max_position_embeddings, c.hidden_size, dtype=self.dtype,
                        name="position_embeddings")(pos_ids)
         tok_type = nn.Embed(c.type_vocab_size, c.hidden_size, dtype=self.dtype,

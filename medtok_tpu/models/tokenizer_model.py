@@ -138,6 +138,60 @@ class MultimodalTokenizer(nn.Module):
         ).astype(jnp.float32)
         return TokenizedCodes(embedding, tokens, weights)
 
+    def encode_text_packed(self, packed_ids, pairwise_mask, pos_ids):
+        """Frozen BERT over PACKED rows (data/packing.py): [R, P] ids with a
+        block-diagonal mask + within-segment positions -> flat [R*P, 768]
+        hidden states. One static shape serves the whole export sweep."""
+        text_hidden = jax.lax.stop_gradient(
+            self.text_model(
+                packed_ids, pairwise_mask, position_ids=pos_ids,
+                deterministic=True,
+            )
+        )                                              # [R, P, 768]
+        return text_hidden.reshape(-1, text_hidden.shape[-1])
+
+    def tokenize_from_hidden(
+        self,
+        flat_hidden,       # [R*P, 768] from encode_text_packed
+        gather_idx,        # [B, Lmax] int32 flat indices into R*P
+        text_mask,         # [B, Lmax] bool
+        batch: CodeBatch,  # graph arrays (text fields unused)
+    ) -> TokenizedCodes:
+        """Quantizer eval tail on gathered per-code hidden states."""
+        per_code = flat_hidden[gather_idx]             # [B, Lmax, 768]
+        text_features = self.text_mapped(per_code)     # [B, Lmax, D]
+
+        graph_node_features = self.graph_encoder(
+            batch.node_ids, batch.edge_src, batch.edge_dst, batch.edge_weight
+        )[-1]
+        graph_features = global_mean_pool(graph_node_features, batch.node_mask)
+        text_cls = text_features[:, 0, :]              # offset 0 = [CLS]
+        h = jnp.concatenate([text_cls, graph_features], axis=-1)
+
+        result = self.quantize(
+            h, text_features, graph_node_features,
+            text_mask.astype(bool), batch.node_mask,
+            z_aug=None, train=False,
+        )
+        return self._eval_outputs(result)
+
+    def tokenize_packed(
+        self,
+        packed_ids,        # [R, P] int32
+        pairwise_mask,     # [R, P, P] bool block-diagonal
+        pos_ids,           # [R, P] int32 within-segment positions
+        gather_idx,        # [B, Lmax] int32 flat indices into R*P
+        text_mask,         # [B, Lmax] bool
+        batch: CodeBatch,  # graph arrays (text fields unused)
+    ) -> TokenizedCodes:
+        """Eval tokenization with a PACKED text encoder: descriptions share
+        128-token BERT rows under a block-diagonal mask, then hidden states
+        gather back into the per-code layout for the quantizer. Numerically
+        identical to tokenize() — each segment sees exactly its own tokens
+        at positions 0..len-1."""
+        flat = self.encode_text_packed(packed_ids, pairwise_mask, pos_ids)
+        return self.tokenize_from_hidden(flat, gather_idx, text_mask, batch)
+
     def encode_shared(self, batch: CodeBatch):
         """Pooled normalized shared-path features for kmeans codebook init."""
         text_features, graph_node_features, _ = self._encode(batch, train=False)

@@ -1,0 +1,114 @@
+"""Sequence packing: host packer correctness + packed-vs-unpacked model
+equivalence (exact token IDs, near-exact embeddings on the f32 CPU path)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from medtok_tpu.data.packing import PackedText, pack_texts, pairwise_mask
+
+
+def _id_lists(rng, n, vocab=1000, lo=3, hi=14):
+    return [
+        rng.integers(1, vocab, size=int(rng.integers(lo, hi))).astype(np.int32)
+        for _ in range(n)
+    ]
+
+
+def test_pack_texts_layout_and_gather():
+    rng = np.random.default_rng(0)
+    lists = _id_lists(rng, 23)
+    p = pack_texts(lists, row_len=32)
+    # every token lands exactly once, in order, under its segment id
+    for b, toks in enumerate(lists):
+        flat_ids = p.input_ids.reshape(-1)
+        got = flat_ids[p.gather_idx[b][p.text_mask[b]]]
+        np.testing.assert_array_equal(got, toks)
+    # segments never split across rows; position ids restart per segment
+    for b, toks in enumerate(lists):
+        seg_rows = set(np.where(p.seg_ids == b + 1)[0].tolist())
+        assert len(seg_rows) == 1
+        r = seg_rows.pop()
+        sel = p.seg_ids[r] == b + 1
+        np.testing.assert_array_equal(p.pos_ids[r][sel], np.arange(len(toks)))
+    # empty slots have seg 0
+    total = sum(len(t) for t in lists)
+    assert int((p.seg_ids > 0).sum()) == total
+
+
+def test_pack_texts_static_padding():
+    rng = np.random.default_rng(1)
+    lists = _id_lists(rng, 5)
+    tight = pack_texts(lists, row_len=32)
+    padded = pack_texts(lists, row_len=32, num_rows=tight.input_ids.shape[0] + 3,
+                        lmax=20)
+    assert padded.input_ids.shape[0] == tight.input_ids.shape[0] + 3
+    assert padded.gather_idx.shape[1] == 20
+    for b in range(5):
+        np.testing.assert_array_equal(
+            padded.gather_idx[b][padded.text_mask[b]],
+            tight.gather_idx[b][tight.text_mask[b]],
+        )
+
+
+def test_pack_texts_rejects_overlong():
+    with pytest.raises(ValueError):
+        pack_texts([np.arange(40, dtype=np.int32)], row_len=32)
+
+
+def test_pairwise_mask_block_diagonal():
+    seg = np.array([[1, 1, 2, 2, 2, 0]])
+    m = pairwise_mask(seg)[0]
+    assert m[0, 1] and m[1, 0] and m[2, 4]
+    assert not m[0, 2] and not m[4, 1]        # cross-segment blocked
+    assert not m[5, 5] and not m[0, 5]        # empty slots blocked
+
+
+def test_packed_model_equals_unpacked():
+    """tokenize_packed == tokenize: exact token IDs + near-exact embeddings
+    (same math, different batching)."""
+    from medtok_tpu.data.synthetic import random_code_batch
+    from medtok_tpu.models.tokenizer_model import MultimodalTokenizer
+    from tests.test_model import tiny_config
+
+    cfg = tiny_config()
+    model = MultimodalTokenizer(cfg)
+    rng = np.random.default_rng(3)
+    B, Lt = 6, 16
+    batch = random_code_batch(
+        rng, batch=B, text_len=Lt, max_nodes=8, max_edges_per_graph=12,
+        text_vocab=1000, num_kg_nodes=500,
+    )
+    # variable-length contiguous texts
+    lists = _id_lists(rng, B, lo=3, hi=Lt + 1)
+    input_ids = np.zeros((B, Lt), np.int32)
+    mask = np.zeros((B, Lt), np.int32)
+    for b, t in enumerate(lists):
+        input_ids[b, : len(t)] = t
+        mask[b, : len(t)] = 1
+    batch = batch._replace(
+        input_ids=jnp.asarray(input_ids), attention_mask=jnp.asarray(mask)
+    )
+    batch = jax.tree.map(jnp.asarray, batch)
+
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, train=False,
+    )
+    ref = model.apply(variables, batch, train=False)
+
+    p = pack_texts(lists, row_len=32, lmax=Lt)
+    out = model.apply(
+        variables,
+        jnp.asarray(p.input_ids), jnp.asarray(pairwise_mask(p.seg_ids)),
+        jnp.asarray(p.pos_ids), jnp.asarray(p.gather_idx),
+        jnp.asarray(p.text_mask), batch,
+        method=MultimodalTokenizer.tokenize_packed,
+    )
+    np.testing.assert_array_equal(np.asarray(out.tokens), np.asarray(ref.tokens))
+    np.testing.assert_allclose(np.asarray(out.embedding),
+                               np.asarray(ref.embedding), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.weights),
+                               np.asarray(ref.weights), rtol=2e-5, atol=2e-5)
