@@ -14,10 +14,13 @@ What's measured (the inference.py:24-141 surface, for real):
   subgraph extraction + batch packing (csrc/) — the vocab sweeps in shards
   so the host tokenizes shard s+1 while the device runs shard s (async
   dispatch): the whole host path hides under device compute;
-- batches of 2048 in length-sorted bucket order (8..64-token text buckets;
-  the reference pads everything to 512 — the single biggest FLOP waste on
-  this workload), so the Pallas fused top-k kernel is on the measured path
-  (ops/vq.py auto gate: batch >= 2048);
+- SEQUENCE-PACKED text encoding by default (data/packing.py): descriptions
+  share fixed [256, 128] BERT rows under block-diagonal masks — one compiled
+  text-encoder program, zero intra-row padding, MXU-shaped attention (the
+  reference pads everything to 512 — the single biggest FLOP waste on this
+  workload); MEDTOK_BENCH_PACKED=0 selects the length-bucketed fallback.
+  The quantizer tail runs at bucketed code counts >= 512, keeping the
+  Pallas fused top-k on the measured path (ops/vq.py auto gate);
 - every step folds its outputs (embedding+tokens+weights) into a chained
   scalar checksum, so timing cannot be faked by async dispatch (device->host
   fetches on this tunnel are lazy).
@@ -129,7 +132,7 @@ def main() -> None:
             + jnp.sum(out.weights)
         )
 
-    if os.environ.get("MEDTOK_BENCH_PACKED", "0") == "1":
+    if os.environ.get("MEDTOK_BENCH_PACKED", "1") == "1":
         res = run_packed_sweep(jax, jnp, model, params, usage, dataset)
         emit_result(jax, jnp, res["wall_s"], res["tokenize_s"],
                     res["checksum"],
