@@ -286,16 +286,10 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
 
         i = 0
         while i < len(order):
-            # simulate row fill to find the largest group fitting R rows
-            rows_used, fill, j = 1, 0, i
-            while j < len(order) and j - i < C_BUCKETS[-1]:
-                n = int(lens[order[j]])
-                if fill + n > P:
-                    if rows_used == R:
-                        break
-                    rows_used, fill = rows_used + 1, 0
-                fill += n
-                j += 1
+            from medtok_tpu.data.packing import take_group
+
+            j = take_group(lens, order, i, row_len=P, num_rows=R,
+                           max_codes=C_BUCKETS[-1])
             group = order[i:j]
             i = j
             C = c_bucket(len(group))

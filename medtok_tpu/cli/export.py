@@ -21,6 +21,10 @@ def main(argv=None) -> None:
     p.add_argument("--out-dir", type=str, default=None)
     p.add_argument("--batch-size", type=int, default=1024)
     p.add_argument("--mesh-dp", type=int, default=-1)
+    p.add_argument("--packed", type=str, default="on",
+                   choices=["on", "off"],
+                   help="sequence-packed text encoder (data/packing.py): "
+                        "~20%% faster at 600K scale, token-identical output")
     args = p.parse_args(argv)
 
     import jax
@@ -56,6 +60,7 @@ def main(argv=None) -> None:
     arrays = export_all(
         model, state.params, state.usage, dataset,
         batch_size=args.batch_size, mesh=mesh, out_dir=out_dir,
+        packed=args.packed == "on",
     )
     dt = time.perf_counter() - t0
     n = len(dataset)

@@ -90,6 +90,25 @@ def pack_texts(
     return PackedText(input_ids, seg_ids, pos_ids, gather_idx, text_mask)
 
 
+def take_group(
+    lens: np.ndarray, order: np.ndarray, start: int,
+    *, row_len: int, num_rows: int, max_codes: int,
+) -> int:
+    """End index (into ``order``) of the largest group starting at ``start``
+    whose texts fit ``num_rows`` rows of ``row_len`` under greedy sequential
+    fill. Shared by bench.py and export.export_all(packed=True)."""
+    rows_used, fill, j = 1, 0, start
+    while j < len(order) and j - start < max_codes:
+        n = int(lens[order[j]])
+        if fill + n > row_len:
+            if rows_used == num_rows:
+                break
+            rows_used, fill = rows_used + 1, 0
+        fill += n
+        j += 1
+    return j
+
+
 def pairwise_mask(seg_ids: np.ndarray) -> np.ndarray:
     """[R, P] segment ids -> [R, P, P] block-diagonal bool mask."""
     same = seg_ids[:, :, None] == seg_ids[:, None, :]

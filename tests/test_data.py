@@ -203,6 +203,39 @@ def test_export_invariant_to_batch_size(dataset, tmp_path):
     assert report["embeddings_all"]["max_abs_err"] < 2e-3
 
 
+def test_export_packed_equals_unpacked(dataset, tmp_path):
+    """export_all(packed=True) — the sequence-packing fast path — must
+    produce token-identical artifacts in the same vocab order, single-device
+    AND over the 8-device dp mesh."""
+    from tests.test_model import tiny_config
+    from medtok_tpu.export.export import export_all
+    from medtok_tpu.export.parity import compare_exports
+    from medtok_tpu.models.tokenizer_model import MultimodalTokenizer
+    from medtok_tpu.parallel.mesh import make_mesh
+
+    mcfg = tiny_config()
+    model = MultimodalTokenizer(mcfg)
+    batch = collate([dataset[0]], dataset.cfg, pad_id=dataset.tokenizer.pad_id)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jax.tree.map(jnp.asarray, batch), train=False,
+    )
+    export_all(model, variables["params"], variables["usage"], dataset,
+               batch_size=16, out_dir=tmp_path / "plain")
+    export_all(model, variables["params"], variables["usage"], dataset,
+               packed=True, out_dir=tmp_path / "packed")
+    report = compare_exports(tmp_path / "plain", tmp_path / "packed")
+    assert report["token_exact_match"], report["token_id_parity"]
+    assert report["embeddings_all"]["max_abs_err"] < 2e-3
+
+    if len(jax.devices()) >= 8:
+        export_all(model, variables["params"], variables["usage"], dataset,
+                   packed=True, mesh=make_mesh(dp=8, tp=1),
+                   out_dir=tmp_path / "packed8")
+        report8 = compare_exports(tmp_path / "plain", tmp_path / "packed8")
+        assert report8["token_exact_match"], report8["token_id_parity"]
+
+
 def test_text_cache_persistence(kg_files, tokenizer, tmp_path):
     cfg = DataConfig(text_buckets=(16, 32), node_buckets=(8, 16),
                      edge_buckets=(16, 64), max_text_length=32)
