@@ -185,9 +185,52 @@ def main() -> None:
                 {"n_shards": NSHARDS, "batch": BATCH})
 
 
+def train_throughput(jax, jnp) -> dict:
+    """Training-step throughput at the reference global batch (1024,
+    train_MedTok.py:387) on the visible chips — fwd+bwd through the full
+    model (frozen-BERT fwd, GCN/quantizer bwd, Adam update)."""
+    if jax.default_backend() != "tpu":
+        return {"train_check": "skipped (no tpu)"}
+    from medtok_tpu.config import MedTokConfig, ModelConfig, TrainConfig
+    from medtok_tpu.data.synthetic import random_code_batch
+    from medtok_tpu.models.tokenizer_model import MultimodalTokenizer
+    from medtok_tpu.parallel.mesh import make_mesh, shard_batch
+    from medtok_tpu.train.trainer import create_train_state, make_train_step
+
+    GB = 1024
+    mcfg = ModelConfig()
+    cfg = MedTokConfig(model=mcfg, train=TrainConfig(global_batch_size=GB))
+    ndev = jax.device_count()
+    mesh = make_mesh(dp=ndev, tp=1)
+    model = MultimodalTokenizer(mcfg, dp_axis="dp" if ndev > 1 else None)
+    rng = np.random.default_rng(5)
+    batch = jax.tree.map(jnp.asarray, random_code_batch(
+        rng, batch=GB, text_len=32, max_nodes=16, max_edges_per_graph=32,
+        text_vocab=mcfg.text.vocab_size, num_kg_nodes=mcfg.graph.num_nodes,
+    ))
+    state = create_train_state(cfg, model, batch)
+    step = make_train_step(cfg, model, mesh, donate=False)
+    sb = shard_batch(mesh, batch)
+    state, m = step(state, sb)                 # compile + warm
+    float(jax.device_get(m["loss"]))
+    times = []
+    for trial in range(4):
+        t0 = time.perf_counter()
+        state, m = step(state, sb)
+        float(jax.device_get(m["loss"]))       # force
+        if trial:
+            times.append(time.perf_counter() - t0)
+    ms = 1e3 * min(times)
+    return {
+        "train_step_ms_b1024_L32": round(ms, 1),
+        "train_codes_per_sec": round(GB / (ms / 1e3), 1),
+    }
+
+
 def emit_result(jax, jnp, wall, t_tok, checksum, extra) -> None:
     kernel = kernel_ab(jax, jnp)
     kernel.update(flash_ab(jax, jnp))
+    kernel.update(train_throughput(jax, jnp))
     n_chips = jax.device_count()
     codes_per_sec = N_CODES / wall
     print(json.dumps({
