@@ -38,14 +38,25 @@ class TrainState(struct.PyTreeNode):
     rng: jax.Array = None
 
 
+def _trainable_mask(params) -> Any:
+    """True for trainable leaves; the frozen text encoder (tokenizer.py:80-81)
+    is excluded — no Adam state (~880 MB for BERT-base) and no gradient
+    traffic for 110M parameters whose grads are identically zero."""
+    return {
+        k: jax.tree.map(lambda _: k != "text_model", v)
+        for k, v in params.items()
+    }
+
+
 def make_optimizer(cfg: MedTokConfig) -> optax.GradientTransformation:
-    """Adam(lr, b1, b2) with global-norm clipping (train_MedTok.py:106, 242-244)."""
+    """Adam(lr, b1, b2) with global-norm clipping (train_MedTok.py:106,
+    242-244), masked to the trainable (non-frozen-BERT) subtree."""
     t = cfg.train
     txs = []
     if t.max_grad_norm and t.max_grad_norm > 0:
         txs.append(optax.clip_by_global_norm(t.max_grad_norm))
     txs.append(optax.adam(t.lr, b1=t.beta1, b2=t.beta2))
-    return optax.chain(*txs)
+    return optax.masked(optax.chain(*txs), _trainable_mask)
 
 
 def create_train_state(
@@ -146,7 +157,12 @@ def make_train_step(
             state.params, state.usage, model, batch, rng, cfg
         )
         if multi_device:
-            grads = jax.lax.pmean(grads, DP_AXIS)
+            # frozen-BERT grads are identically zero — skip their pmean
+            # (440 MB of pointless ICI traffic per step for BERT-base)
+            grads = {
+                k: v if k == "text_model" else jax.lax.pmean(v, DP_AXIS)
+                for k, v in grads.items()
+            }
             metrics = jax.lax.pmean(metrics, DP_AXIS)
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
