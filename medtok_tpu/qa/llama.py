@@ -344,11 +344,33 @@ def _make_decode_fns(model: LlamaModel, temperature: float, top_p: float,
 
     @functools.partial(jax.jit, static_argnums=(2,))
     def scan_decode(params, carry, n_steps):
-        """The fused path: the whole continuation in ONE dispatch."""
-        carry, toks = jax.lax.scan(
-            lambda c, _: step(params, c), carry, None, length=n_steps
-        )
-        return jnp.swapaxes(toks, 0, 1)  # [steps, B] -> [B, steps]
+        """The fused path: the whole continuation in ONE dispatch. With an
+        eos token this is a while_loop that stops as soon as every row
+        finished (MCQ answers are ~3 tokens; running all 64 steps would be
+        ~20x wasted decode); without one, a plain scan."""
+        if eos_token_id is None:
+            carry, toks = jax.lax.scan(
+                lambda c, _: step(params, c), carry, None, length=n_steps
+            )
+            return jnp.swapaxes(toks, 0, 1)  # [steps, B] -> [B, steps]
+
+        B = carry[3].shape[0]
+        out0 = jnp.full((B, n_steps), eos_token_id, jnp.int32)
+
+        def cond(state):
+            i, _, c = state
+            finished = c[5]
+            return (i < n_steps) & ~jnp.all(finished)
+
+        def body(state):
+            i, out, c = state
+            c, tok = step(params, c)
+            return i + 1, jax.lax.dynamic_update_slice(
+                out, tok[:, None].astype(jnp.int32), (0, i)
+            ), c
+
+        _, out, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), out0, carry))
+        return out
 
     fns = (prefill, step_jit, scan_decode)
     _DECODE_FN_CACHE[key] = fns

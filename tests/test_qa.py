@@ -130,6 +130,34 @@ def test_generate_scan_matches_streaming_path(tiny_llm):
         np.testing.assert_array_equal(fused, stream)
 
 
+def test_generate_eos_early_exit_matches_streaming(tiny_llm):
+    """With an eos token the fused path is a while_loop that stops once all
+    rows finished; its prefix must match the streaming path's (shorter)
+    output, with eos fill after."""
+    model, params = tiny_llm
+    B, L, H = 2, 5, model.cfg.hidden_size
+    rng = np.random.default_rng(7)
+    embeds = jnp.asarray(rng.normal(size=(B, L, H)).astype(np.float32))
+    mask = jnp.ones((B, L), jnp.int32)
+    # learn which token every row would emit first, use it as "eos" so both
+    # rows finish on step 1
+    probe = generate(model, params, embeds, mask, max_new_tokens=1,
+                     temperature=0.0)
+    eos = int(probe[0, 0])
+    fused = generate(model, params, embeds, mask, max_new_tokens=6,
+                     temperature=0.0, eos_token_id=eos)
+    stream = generate(model, params, embeds, mask, max_new_tokens=6,
+                      temperature=0.0, eos_token_id=eos,
+                      on_token=lambda t: None)
+    assert fused.shape == (B, 6)
+    S = stream.shape[1]
+    np.testing.assert_array_equal(fused[:, :S], stream)
+    # everything after the streaming cut is eos fill
+    assert (fused[:, S:] == eos).all()
+    # row 0 finished at its first token
+    assert fused[0, 0] == eos or (fused[0] == eos).any()
+
+
 def test_soft_prompt_injection_matches_reference_semantics():
     """Vectorized injection == the reference's per-row loop (review.py:50-74)."""
     rng = np.random.default_rng(4)
