@@ -112,3 +112,30 @@ def test_packed_model_equals_unpacked():
                                np.asarray(ref.embedding), rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(out.weights),
                                np.asarray(ref.weights), rtol=2e-5, atol=2e-5)
+
+
+def test_take_group_partitions_all_codes():
+    """Walking take_group over a sorted order covers every code exactly once
+    and every group actually packs into (num_rows, row_len)."""
+    from medtok_tpu.data.packing import take_group
+
+    rng = np.random.default_rng(7)
+    lens = rng.integers(3, 20, size=1000)
+    order = np.argsort(lens, kind="stable")
+    seen = []
+    i = 0
+    while i < len(order):
+        j = take_group(lens, order, i, row_len=32, num_rows=8, max_codes=64)
+        assert j > i
+        group = order[i:j]
+        # must fit: simulate exact fill
+        rows, fill = 1, 0
+        for g in group:
+            n = int(lens[g])
+            if fill + n > 32:
+                rows, fill = rows + 1, 0
+            fill += n
+        assert rows <= 8 and len(group) <= 64
+        seen.extend(group.tolist())
+        i = j
+    assert sorted(seen) == list(range(1000))
