@@ -18,6 +18,11 @@ from pathlib import Path
 
 import numpy as np
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
