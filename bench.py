@@ -188,43 +188,69 @@ def main() -> None:
 def train_throughput(jax, jnp) -> dict:
     """Training-step throughput at the reference global batch (1024,
     train_MedTok.py:387) on the visible chips — fwd+bwd through the full
-    model (frozen-BERT fwd, GCN/quantizer bwd, Adam update)."""
+    model (frozen-BERT fwd, GCN/quantizer bwd, masked Adam). Texts are
+    realistic variable-length (8..30 tokens) padded to the 64 bucket, as a
+    SHUFFLED batch collates — which is what TrainConfig.packed_text
+    recovers: the packed variant is also timed."""
     if jax.default_backend() != "tpu":
         return {"train_check": "skipped (no tpu)"}
     from medtok_tpu.config import MedTokConfig, ModelConfig, TrainConfig
+    from medtok_tpu.data.packing import pack_code_batch
     from medtok_tpu.data.synthetic import random_code_batch
     from medtok_tpu.models.tokenizer_model import MultimodalTokenizer
     from medtok_tpu.parallel.mesh import make_mesh, shard_batch
     from medtok_tpu.train.trainer import create_train_state, make_train_step
 
-    GB = 1024
+    GB, LT = 1024, 64
     mcfg = ModelConfig()
     cfg = MedTokConfig(model=mcfg, train=TrainConfig(global_batch_size=GB))
     ndev = jax.device_count()
     mesh = make_mesh(dp=ndev, tp=1)
     model = MultimodalTokenizer(mcfg, dp_axis="dp" if ndev > 1 else None)
     rng = np.random.default_rng(5)
-    batch = jax.tree.map(jnp.asarray, random_code_batch(
-        rng, batch=GB, text_len=32, max_nodes=16, max_edges_per_graph=32,
+    batch = random_code_batch(
+        rng, batch=GB, text_len=LT, max_nodes=16, max_edges_per_graph=32,
         text_vocab=mcfg.text.vocab_size, num_kg_nodes=mcfg.graph.num_nodes,
-    ))
+    )
+    ids = np.zeros((GB, LT), np.int32)
+    am = np.zeros((GB, LT), np.int32)
+    for b in range(GB):
+        n = int(rng.integers(8, 31))
+        ids[b, :n] = rng.integers(1, mcfg.text.vocab_size, n)
+        am[b, :n] = 1
+    batch = batch._replace(input_ids=jnp.asarray(ids),
+                           attention_mask=jnp.asarray(am))
+    batch = jax.tree.map(jnp.asarray, batch)
     state = create_train_state(cfg, model, batch)
-    step = make_train_step(cfg, model, mesh, donate=False)
     sb = shard_batch(mesh, batch)
-    state, m = step(state, sb)                 # compile + warm
-    float(jax.device_get(m["loss"]))
-    times = []
-    for trial in range(4):
-        t0 = time.perf_counter()
-        state, m = step(state, sb)
-        float(jax.device_get(m["loss"]))       # force
-        if trial:
-            times.append(time.perf_counter() - t0)
-    ms = 1e3 * min(times)
-    return {
-        "train_step_ms_b1024_L32": round(ms, 1),
-        "train_codes_per_sec": round(GB / (ms / 1e3), 1),
-    }
+
+    rows = int(np.ceil(1.3 * am.sum() / ndev / 128))
+    packed = jax.tree.map(jnp.asarray, pack_code_batch(
+        ids, am, shards=ndev, rows_per_shard=rows, row_len=128,
+    ))
+    sp = shard_batch(mesh, packed)
+
+    out = {}
+    for name, mk in (("train_step_ms_b1024", False),
+                     ("train_packed_step_ms_b1024", True)):
+        step = make_train_step(cfg, model, mesh, donate=False, packed=mk)
+        args = (state, sb, sp) if mk else (state, sb)
+        _, m = step(*args)                      # compile + warm
+        float(jax.device_get(m["loss"]))
+        times = []
+        for trial in range(4):
+            t0 = time.perf_counter()
+            _, m = step(*args)
+            float(jax.device_get(m["loss"]))    # force
+            if trial:
+                times.append(time.perf_counter() - t0)
+        ms = 1e3 * min(times)
+        out[name] = round(ms, 1)
+        out[name.replace("step_ms", "codes_per_sec")] = round(GB / (ms / 1e3), 1)
+    out["train_pack_speedup"] = round(
+        out["train_step_ms_b1024"] / out["train_packed_step_ms_b1024"], 2
+    )
+    return out
 
 
 def emit_result(jax, jnp, wall, t_tok, checksum, extra) -> None:

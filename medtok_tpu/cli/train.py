@@ -66,6 +66,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--multihost", action="store_true",
                    help="bootstrap jax.distributed for TPU pod slices")
+    p.add_argument("--packed-text", type=str, default="auto",
+                   choices=["auto", "on", "off"],
+                   help="sequence-packed frozen-BERT forward in the train "
+                        "step (~2.4x step speedup; auto = on for single-"
+                        "process runs without --text-dropout-in-train)")
     p.add_argument("--edge-dropout-p", type=float, default=0.1,
                    help="graph-augmentation edge dropout "
                         "(dataset_creator.py:155-170)")
@@ -128,6 +133,10 @@ def config_from_args(args) -> "MedTokConfig":
             mesh_dp=args.mesh_dp, mesh_tp=args.mesh_tp,
             shared_loss_beta=args.shared_loss_beta,
             specific_loss_lamb=args.specific_loss_lamb,
+            packed_text=(
+                args.packed_text == "on"
+                or (args.packed_text == "auto" and jax.process_count() == 1)
+            ),
         ),
     )
 

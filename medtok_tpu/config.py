@@ -138,6 +138,13 @@ class TrainConfig:
     # Device mesh: data-parallel x model-parallel (codebook-row sharding).
     mesh_dp: int = -1  # -1 = all devices on dp
     mesh_tp: int = 1
+    # Sequence-packed text encoding for the train step (data/packing.py):
+    # shuffled batches pad to the longest bucket, so the frozen BERT wastes
+    # ~3x tokens; packing shares fixed rows instead. Requires
+    # text_dropout_in_train=False (the default).
+    packed_text: bool = False
+    packed_row_len: int = 128
+    packed_rows_per_shard: int = 0   # 0 = auto from the first batch (+30%)
 
 
 @dataclass(frozen=True)

@@ -90,6 +90,56 @@ def pack_texts(
     return PackedText(input_ids, seg_ids, pos_ids, gather_idx, text_mask)
 
 
+def pack_code_batch(
+    input_ids: np.ndarray,        # [B, Lt] padded WordPiece ids
+    attention_mask: np.ndarray,   # [B, Lt] 1 = real token
+    *,
+    shards: int = 1,
+    rows_per_shard: int,
+    row_len: int = 128,
+    lmax: int | None = None,
+):
+    """Pack a TRAINING batch's texts for the packed text-encoder path.
+
+    Shuffled batches can't be length-sorted (collate pads them to the
+    longest bucket), so packing recovers the ~3x token waste. Under dp
+    sharding each contiguous B/shards chunk packs into its own
+    [rows_per_shard, row_len] block with SHARD-LOCAL gather indices —
+    inside shard_map every device gathers from its own rows.
+
+    Returns a numpy PackedTextBatch; raises ValueError if a shard overflows
+    its row budget (caller falls back or raises with sizing advice).
+    """
+    from medtok_tpu.data.types import PackedTextBatch
+
+    B, Lt = input_ids.shape
+    assert B % shards == 0
+    bs = B // shards
+    if lmax is None:
+        lmax = Lt
+    lens = np.asarray(attention_mask, np.int64).sum(axis=1)
+    ids_list, segs, poss, gathers, masks = [], [], [], [], []
+    for s in range(shards):
+        lists = [
+            np.asarray(input_ids[b, : lens[b]], np.int32)
+            for b in range(s * bs, (s + 1) * bs)
+        ]
+        p = pack_texts(lists, row_len=row_len, num_rows=rows_per_shard,
+                       lmax=lmax)
+        ids_list.append(p.input_ids)
+        segs.append(p.seg_ids)
+        poss.append(p.pos_ids)
+        gathers.append(p.gather_idx)      # local to this shard's rows
+        masks.append(p.text_mask)
+    return PackedTextBatch(
+        input_ids=np.concatenate(ids_list),
+        seg_ids=np.concatenate(segs),
+        pos_ids=np.concatenate(poss),
+        gather_idx=np.concatenate(gathers),
+        text_mask=np.concatenate(masks),
+    )
+
+
 def take_group(
     lens: np.ndarray, order: np.ndarray, start: int,
     *, row_len: int, num_rows: int, max_codes: int,

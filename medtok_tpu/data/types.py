@@ -39,6 +39,19 @@ class CodeBatch(NamedTuple):
     code_indices: jax.Array     # [B] int32 row index into the code vocab
 
 
+class PackedTextBatch(NamedTuple):
+    """Sequence-packed companion to a CodeBatch's text fields
+    (data/packing.py): the B descriptions share [R, P] encoder rows. Under
+    dp sharding the rows are packed PER SHARD (each device's gather indices
+    are local to its own row block)."""
+
+    input_ids: jax.Array   # [R, P] int32
+    seg_ids: jax.Array     # [R, P] int32 (0 = empty slot)
+    pos_ids: jax.Array     # [R, P] int32 within-segment positions
+    gather_idx: jax.Array  # [B, Lmax] int32 flat indices, shard-local
+    text_mask: jax.Array   # [B, Lmax] bool
+
+
 class TokenizedCodes(NamedTuple):
     """Eval output per code (reference: tokenizer.py:240-247)."""
 

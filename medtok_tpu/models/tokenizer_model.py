@@ -58,12 +58,25 @@ class MultimodalTokenizer(nn.Module):
         # frozen encoder (tokenizer.py:80-81): block gradients
         return jax.lax.stop_gradient(out)
 
-    def _encode(self, batch: CodeBatch, *, train: bool):
+    def _encode(self, batch: CodeBatch, *, train: bool, packed=None):
         c = self.cfg
-        text_hidden = self._encode_text(
-            batch.input_ids, batch.attention_mask,
-            dropout=train and c.text_dropout_in_train,
-        )  # [B, Lt, 768]
+        if packed is not None:
+            # sequence-packed text path (data/packing.py): the frozen BERT
+            # runs once over shared [R, P] rows; per-code hidden states
+            # gather back out. Requires the deterministic text encoder (the
+            # default) — dropout noise would leak across packed segments.
+            assert not (train and c.text_dropout_in_train), (
+                "packed text encoding requires text_dropout_in_train=False"
+            )
+            seg = packed.seg_ids
+            pm = (seg[:, :, None] == seg[:, None, :]) & (seg[:, :, None] > 0)
+            flat = self.encode_text_packed(packed.input_ids, pm, packed.pos_ids)
+            text_hidden = flat[packed.gather_idx]          # [B, Lmax, 768]
+        else:
+            text_hidden = self._encode_text(
+                batch.input_ids, batch.attention_mask,
+                dropout=train and c.text_dropout_in_train,
+            )  # [B, Lt, 768]
         text_features = self.text_mapped(text_hidden)  # [B, Lt, D]
 
         graph_node_features = self.graph_encoder(
@@ -75,10 +88,18 @@ class MultimodalTokenizer(nn.Module):
         h = jnp.concatenate([text_cls, graph_features], axis=-1)  # [B, 2D]
         return text_features, graph_node_features, h
 
-    def __call__(self, batch: CodeBatch, *, train: bool = True):
+    def __call__(self, batch: CodeBatch, *, train: bool = True, packed=None):
+        """``packed``: optional PackedTextBatch — the text encoder then runs
+        over shared packed rows (TrainConfig.packed_text; ~3x fewer BERT
+        tokens than bucket-padding a shuffled batch)."""
         c = self.cfg
-        text_features, graph_node_features, h = self._encode(batch, train=train)
-        text_mask = batch.attention_mask.astype(bool)
+        text_features, graph_node_features, h = self._encode(
+            batch, train=train, packed=packed
+        )
+        text_mask = (
+            packed.text_mask.astype(bool) if packed is not None
+            else batch.attention_mask.astype(bool)
+        )
 
         if train:
             # augmented view: edge-dropped graph (+ optional BERT dropout noise)

@@ -16,6 +16,7 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 from flax.core import FrozenDict
@@ -85,10 +86,11 @@ def create_train_state(
     )
 
 
-def _loss_fn(params, usage, model, batch, dropout_rng, cfg: MedTokConfig):
+def _loss_fn(params, usage, model, batch, dropout_rng, cfg: MedTokConfig,
+             packed=None):
     out, mutated = model.apply(
         {"params": params, "usage": usage},
-        batch, train=True,
+        batch, train=True, packed=packed,
         rngs={"dropout": dropout_rng},
         mutable=["usage"],
     )
@@ -133,7 +135,7 @@ def kmeans_init_codebook(
 
 def make_train_step(
     cfg: MedTokConfig, model: MultimodalTokenizer, mesh: Mesh,
-    *, donate: bool = True,
+    *, donate: bool = True, packed: bool = False,
 ) -> Callable[[TrainState, CodeBatch], tuple[TrainState, dict]]:
     """Build the jitted DP train step.
 
@@ -141,11 +143,15 @@ def make_train_step(
     psum-averaged over 'dp' (the XLA/ICI equivalent of DDP's NCCL gradient
     all-reduce, SURVEY.md section 2.6) and the optimizer update runs
     replicated — bitwise identical across devices.
+
+    ``packed``: the step takes a third PackedTextBatch argument and the
+    frozen text encoder runs over shared packed rows (each device's rows
+    and gather indices are shard-local, TrainConfig.packed_text).
     """
     tx = make_optimizer(cfg)
     multi_device = mesh.size > 1
 
-    def step_fn(state: TrainState, batch: CodeBatch):
+    def step_fn(state: TrainState, batch: CodeBatch, packed_b=None):
         rng = jax.random.fold_in(state.rng, state.step)
         # per-device decorrelated dropout, like per-rank seeds (train_MedTok.py:43)
         rng = jax.random.fold_in(
@@ -154,7 +160,7 @@ def make_train_step(
 
         grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
         (loss, (metrics, usage)), grads = grad_fn(
-            state.params, state.usage, model, batch, rng, cfg
+            state.params, state.usage, model, batch, rng, cfg, packed_b
         )
         if multi_device:
             # frozen-BERT grads are identically zero — skip their pmean
@@ -194,15 +200,27 @@ def make_train_step(
         assert model.dp_axis is None and model.tp_axis is None, (
             "single-device train step requires dp_axis=tp_axis=None"
         )
+        if not packed:
+            return jax.jit(
+                lambda state, batch: step_fn(state, batch),
+                donate_argnums=donate_args,
+            )
         return jax.jit(step_fn, donate_argnums=donate_args)
 
     replicated = P()
     batch_spec = CodeBatch(*([P(DP_AXIS)] * len(CodeBatch._fields)))
+    in_specs = [replicated, batch_spec]
+    if packed:
+        from medtok_tpu.data.types import PackedTextBatch
+
+        in_specs.append(
+            PackedTextBatch(*([P(DP_AXIS)] * len(PackedTextBatch._fields)))
+        )
 
     sharded = shard_map(
-        step_fn,
+        step_fn if packed else (lambda state, batch: step_fn(state, batch)),
         mesh=mesh,
-        in_specs=(replicated, batch_spec),
+        in_specs=tuple(in_specs),
         out_specs=(replicated, replicated),
         check_vma=False,
     )
@@ -241,7 +259,9 @@ class Trainer:
         self.model = model
         self.workdir = workdir
         self.log_fn = log_fn
-        self.step_fn = make_train_step(cfg, self.model, self.mesh)
+        self.step_fn = make_train_step(
+            cfg, self.model, self.mesh, packed=cfg.train.packed_text
+        )
         self._ckpt = None
         if workdir is not None:
             from medtok_tpu.utils.checkpoint import CheckpointManager
@@ -264,9 +284,16 @@ class Trainer:
         shard_host_local_batch assembles the global dp-sharded array — the
         DistributedSampler + DDP contract (train_MedTok.py:115-121). On a
         single host this degenerates to shard_batch."""
-        from medtok_tpu.parallel.mesh import shard_host_local_batch
+        from medtok_tpu.parallel.mesh import shard_batch, shard_host_local_batch
 
         t = self.cfg.train
+        pack_rows = t.packed_rows_per_shard
+        if t.packed_text and jax.process_count() > 1:
+            raise NotImplementedError(
+                "packed_text is single-process for now (per-shard packing "
+                "must align with the multi-host rank shards)"
+            )
+        dp = self.mesh.shape.get(DP_AXIS, 1)
         log_t0 = time.time()
         log_steps = 0
         running = 0.0
@@ -274,8 +301,34 @@ class Trainer:
             step = int(state.step)
             if max_steps is not None and step >= max_steps:
                 break
+            packed_b = None
+            if t.packed_text:
+                from medtok_tpu.data.packing import pack_code_batch
+
+                ids = np.asarray(batch.input_ids)
+                am = np.asarray(batch.attention_mask)
+                if pack_rows == 0:   # auto budget, fixed after first batch
+                    pack_rows = max(
+                        2, int(np.ceil(1.3 * am.sum() / dp / t.packed_row_len))
+                    )
+                try:
+                    packed_np = pack_code_batch(
+                        ids, am, shards=dp, rows_per_shard=pack_rows,
+                        row_len=t.packed_row_len,
+                    )
+                except ValueError as e:
+                    raise ValueError(
+                        f"{e} — raise TrainConfig.packed_rows_per_shard "
+                        f"(current {pack_rows})"
+                    ) from e
+                packed_b = shard_batch(
+                    self.mesh, jax.tree.map(jnp.asarray, packed_np)
+                )
             batch = shard_host_local_batch(self.mesh, batch)
-            state, metrics = self.step_fn(state, batch)
+            state, metrics = (
+                self.step_fn(state, batch, packed_b)
+                if t.packed_text else self.step_fn(state, batch)
+            )
             log_steps += 1
             if (step + 1) % t.log_every == 0:
                 metrics = jax.device_get(metrics)
