@@ -34,7 +34,7 @@ def workspace(tmp_path_factory):
 def _run(mod, *args):
     return subprocess.run(
         [sys.executable, "-m", mod, *args],
-        capture_output=True, text=True, timeout=1200,
+        capture_output=True, text=True, timeout=2400,
         env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
     )
 
