@@ -65,6 +65,9 @@ class QuantizerConfig:
     cross_attn_dropout: float = 0.1
     usage_buffer_size: int = 300000  # FIFO slots (vq...py:118)
     use_kmeans: bool = False
+    # distance+top-k sweep backend: 'auto' (pallas on TPU when the shape pays
+    # off, see ops/vq._use_pallas), 'xla', or 'pallas'
+    topk_backend: str = "auto"
 
 
 @dataclass(frozen=True)

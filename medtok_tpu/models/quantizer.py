@@ -114,10 +114,12 @@ class SoftVQQuantizer(nn.Module):
         q_text = vq_ops.soft_topk_quantize(
             z_flat_text, self.codebook, k=c.top_k, beta=c.commit_loss_beta,
             l2_norm=c.l2_norm, train=train, tp_axis=tp,
+            backend=c.topk_backend,
         )
         q_graph = vq_ops.soft_topk_quantize(
             z_flat_graph, self.codebook, k=c.top_k, beta=c.commit_loss_beta,
             l2_norm=c.l2_norm, train=train, tp_axis=tp,
+            backend=c.topk_backend,
         )
         usage = self._track_usage(
             jnp.concatenate([q_text.indices, q_graph.indices], axis=-1)
@@ -184,13 +186,13 @@ class SoftVQQuantizer(nn.Module):
             q = vq_ops.soft_topk_quantize(
                 z_p, self.codebook, k=c.top_k, beta=c.commit_loss_beta,
                 l2_norm=c.l2_norm, train=train, tp_axis=self._tp_axis(),
-                region=bounds,
+                region=bounds, backend=c.topk_backend,
             )
         else:
             region = vq_ops.region_slice(self.codebook, types)
             q = vq_ops.soft_topk_quantize(
                 z_p, region, k=c.top_k, beta=c.commit_loss_beta,
-                l2_norm=c.l2_norm, train=train,
+                l2_norm=c.l2_norm, train=train, backend=c.topk_backend,
             )
         usage = self._track_usage(q.indices) if track else jnp.asarray(0.0)
         z_p_n = vq_ops.l2_normalize(z_p.astype(jnp.float32))

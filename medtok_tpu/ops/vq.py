@@ -56,33 +56,32 @@ def topk_smallest(d: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
     return -neg_vals, idx
 
 
-# Backend for the distance+top-k sweep: 'xla' (matmul + lax.top_k), 'pallas'
-# (fused kernel, ops/vq_pallas.py), or 'auto' (pallas on TPU for codebooks
-# large enough to pay off).
-TOPK_BACKEND = "auto"
-
-
-def _use_pallas(batch: int, n_codes: int) -> bool:
-    if TOPK_BACKEND == "pallas":
+def _use_pallas(batch: int, n_codes: int, backend: str) -> bool:
+    """Backend for the distance+top-k sweep: 'xla' (matmul + lax.top_k),
+    'pallas' (fused kernel, ops/vq_pallas.py), or 'auto' (pallas on TPU for
+    codebooks large enough to pay off). Configured per-quantizer via
+    QuantizerConfig.topk_backend."""
+    if backend == "pallas":
         return True
-    if TOPK_BACKEND == "xla":
+    if backend == "xla":
         return False
-    # measured on v5e: fused kernel wins from ~2K rows (1.76x at 8K),
-    # roughly ties below; XLA's matmul+top_k is fine for small sweeps
+    # measured on v5e (BENCH_r02: 1.08x at 8192x21000; see PERF.md): the
+    # fused kernel ties-to-slightly-wins XLA on time from ~2K rows and large
+    # codebooks, and never materializes the [B, N] distance matrix in HBM
     return (
         jax.default_backend() == "tpu" and batch >= 2048 and n_codes >= 4096
     )
 
 
 def distance_topk(
-    z_n: jax.Array, e_n: jax.Array, k: int
+    z_n: jax.Array, e_n: jax.Array, k: int, *, backend: str = "auto"
 ) -> tuple[jax.Array, jax.Array]:
     """k smallest squared-L2 distances (values, indices) of z_n rows against
     e_n rows. The pallas path computes indices with the fused kernel and then
     recomputes the selected distances differentiably (a [B,k,D] gather) so
     gradients w.r.t. z and the codebook match the XLA top_k path (torch
     backprops through topk.values the same way)."""
-    if _use_pallas(z_n.shape[0], e_n.shape[0]):
+    if _use_pallas(z_n.shape[0], e_n.shape[0], backend):
         from medtok_tpu.ops.vq_pallas import fused_topk_l2
 
         _, idx = fused_topk_l2(z_n, e_n, k=k, tile_b=256, tile_n=2048)
@@ -171,6 +170,7 @@ def soft_topk_quantize(
     train: bool = True,
     tp_axis: str | None = None,
     region: tuple[int, int] | None = None,
+    backend: str = "auto",
 ) -> QuantizeOut:
     """Soft top-k quantization of ``z`` against ``codebook`` rows.
 
@@ -179,6 +179,12 @@ def soft_topk_quantize(
     codewords; but the VQ/commit losses and the STE compare against the
     **unnormalized** z — exactly the reference's arrangement
     (vector_quantization_soft_one_new.py:147-182, 194-214).
+
+    ``tp_axis`` shards the distance sweep over a mesh axis (inside shard_map);
+    ``region`` (tp only; non-tp callers pass the pre-sliced codebook) restricts
+    to global rows [lo, hi) and makes the returned indices region-LOCAL, the
+    reference's convention of indexing a sliced codebook. Both paths share one
+    softmax/loss/STE tail so the semantics cannot diverge.
     """
     z32 = z.astype(jnp.float32)
     if l2_norm:
@@ -190,31 +196,15 @@ def soft_topk_quantize(
 
     if tp_axis is not None:
         values, indices = distance_topk_tp(z_n, e_n, k, tp_axis, region=region)
-        if region is not None:
-            # reference returns region-LOCAL ids (it indexes a sliced codebook)
-            indices = indices - region[0]
-            gathered = e_n[indices + region[0]]
-        else:
-            gathered = e_n[indices]
-        weights = jax.nn.softmax(-values, axis=-1)
-        z_q_raw = jnp.sum(weights[..., None] * gathered, axis=1)
-        if train:
-            vq_loss = jnp.mean((jax.lax.stop_gradient(z32) - z_q_raw) ** 2)
-            commit_loss = beta * jnp.mean(
-                (z32 - jax.lax.stop_gradient(z_q_raw)) ** 2
-            )
-        else:
-            vq_loss = jnp.asarray(0.0, jnp.float32)
-            commit_loss = jnp.asarray(0.0, jnp.float32)
-        z_q = z32 + jax.lax.stop_gradient(z_q_raw - z32)
-        return QuantizeOut(
-            z_q.astype(z.dtype), z_q_raw, indices, weights, vq_loss, commit_loss
-        )
+        base = 0 if region is None else region[0]
+        indices = indices - base
+    else:
+        assert region is None, "region requires tp_axis (slice the codebook)"
+        values, indices = distance_topk(z_n, e_n, k, backend=backend)  # [B, k]
+        base = 0
 
-    values, indices = distance_topk(z_n, e_n, k)  # [B, k]
     weights = jax.nn.softmax(-values, axis=-1)  # [B, k]
-
-    gathered = e_n[indices]  # [B, k, D]
+    gathered = e_n[indices + base]  # [B, k, D]
     z_q_raw = jnp.sum(weights[..., None] * gathered, axis=1)  # [B, D]
 
     if train:
