@@ -114,6 +114,209 @@ def convert_torch_encoder_layer(sd: dict, prefix: str = "") -> dict:
     }
 
 
+def make_torch_gcn_conv(in_channels: int, out_channels: int):
+    """Pure-torch GCNConv with torch_geometric.nn.GCNConv's default formula
+    (add_self_loops=True, symmetric normalization, bias; the layer used by the
+    reference GraphEncoder, /root/reference/MedTok/tokenizer.py:19-23).
+
+    torch_geometric is not installed here; the formula is ~15 lines of plain
+    torch: out = D^-1/2 (A + I) D^-1/2 (X W) + b with degrees computed on the
+    destination index over the self-loop-augmented edge set.
+    """
+    import torch
+    import torch.nn as nn
+
+    class TorchGCNConv(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.lin = nn.Linear(in_channels, out_channels, bias=False)
+            self.bias = nn.Parameter(torch.zeros(out_channels))
+
+        def forward(self, x, edge_index):
+            n = x.shape[0]
+            loop = torch.arange(n, dtype=edge_index.dtype)
+            src = torch.cat([edge_index[0], loop])
+            dst = torch.cat([edge_index[1], loop])
+            deg = torch.zeros(n).index_add_(0, dst, torch.ones(dst.shape[0]))
+            dinv = deg.pow(-0.5)
+            dinv[torch.isinf(dinv)] = 0.0
+            coef = (dinv[src] * dinv[dst]).unsqueeze(-1)
+            xw = self.lin(x)
+            out = torch.zeros(n, xw.shape[1]).index_add_(0, dst, coef * xw[src])
+            return out + self.bias
+
+    return TorchGCNConv()
+
+
+def build_composed_oracle(cfg, *, seed: int = 0, root: Path | str = REFERENCE_ROOT):
+    """The COMPOSED torch reference eval pipeline as one module.
+
+    Wires the full parity surface of tokenizer.py:202-247 / inference.py:105-138:
+    installed HF ``transformers.BertModel`` (random-init at ``cfg.text``'s
+    shape) -> text_mapped Linear; node-embedding table -> GCNConv -> ReLU ->
+    GCNConv -> global_mean_pool; h = cat(text CLS, graph pool); the imported
+    reference ``VectorQuantizer``. ``cfg`` is a ModelConfig; returns a torch
+    module whose ``forward`` runs the eval branch and returns
+    (embedding [B,256], tokens [B,4,k], weights [B,4,k]) — token indices are
+    captured via a torch.topk hook since the reference quantizer does not
+    return them (latent upstream bug, tokenizer.py:235-238).
+    """
+    import torch
+    import torch.nn as nn
+    import transformers
+
+    mod = load_reference_vq_module(root)
+    t, g, q = cfg.text, cfg.graph, cfg.quantizer
+    torch.manual_seed(seed)
+
+    class ComposedOracle(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.text_model = transformers.BertModel(transformers.BertConfig(
+                vocab_size=t.vocab_size, hidden_size=t.hidden_size,
+                num_hidden_layers=t.num_layers, num_attention_heads=t.num_heads,
+                intermediate_size=t.intermediate_size,
+                max_position_embeddings=t.max_position_embeddings,
+                hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+                hidden_act="gelu",
+            ))
+            # GraphEncoder (tokenizer.py:13-45): emb table + GCN-ReLU-GCN
+            self.emb = nn.Embedding(g.num_nodes, g.in_channels)
+            self.conv1 = make_torch_gcn_conv(g.in_channels, g.hidden_channels)
+            self.conv2 = make_torch_gcn_conv(g.hidden_channels, g.out_channels)
+            self.text_mapped = nn.Linear(t.hidden_size, g.out_channels)
+            self.quantize = mod.VectorQuantizer(
+                n_e=q.codebook_size, e_dim=q.codebook_embed_dim,
+                beta=q.commit_loss_beta, entropy_loss_ratio=q.entropy_loss_ratio,
+                l2_norm=q.l2_norm, show_usage=q.show_usage,
+                split=[q.codebook_embed_dim, q.codebook_embed_dim],
+                kmeans=False, num_head=q.num_heads, k=q.top_k,
+            )
+
+        @torch.no_grad()
+        def forward(self, input_ids, attention_mask, flat_nodes, edge_index,
+                    batch_vec):
+            """Eval forward (tokenizer.py:202-247, training=False branch).
+            flat_nodes: [sum_n] global node ids; edge_index: [2, E] flat
+            indices; batch_vec: [sum_n] graph id per node."""
+            B = input_ids.shape[0]
+            text = self.text_model(
+                input_ids=input_ids, attention_mask=attention_mask
+            ).last_hidden_state                                 # (:211, 144-152)
+            x = self.emb(flat_nodes)
+            h1 = torch.relu(self.conv1(x, edge_index))
+            node_feats = self.conv2(h1, edge_index)             # (:34-45, last)
+            # global_mean_pool over the batch vector (:216)
+            pool = torch.zeros(B, node_feats.shape[1]).index_add_(
+                0, batch_vec, node_feats
+            )
+            cnt = torch.zeros(B).index_add_(
+                0, batch_vec, torch.ones(batch_vec.shape[0])
+            ).clamp(min=1.0).unsqueeze(-1)
+            graph_features = pool / cnt
+            text_features = self.text_mapped(text)              # (:221)
+            h = torch.cat((text_features[:, 0, :], graph_features), dim=-1)
+
+            calls = []
+            orig_topk = torch.topk
+
+            def rec_topk(*a, **k):
+                out = orig_topk(*a, **k)
+                calls.append((out.indices.clone(), out.values.clone()))
+                return out
+
+            torch.topk = rec_topk
+            try:
+                r = self.quantize(
+                    h, text_features, node_feats, attention_mask, batch_vec,
+                    None,
+                )
+            finally:
+                torch.topk = orig_topk
+            # topk call order inside VectorQuantizer.forward: shared_text,
+            # shared_graph (get_shared_info :157-160), then text-specific,
+            # graph-specific (specific_embedding :207-208)
+            (st_i, st_v), (sg_i, sg_v), (tx_i, tx_v), (gr_i, gr_v) = calls
+            sm = lambda v: torch.softmax(-v, dim=1)
+            # eval concat order: tokenizer.py:240-247
+            tokens = torch.stack([tx_i, gr_i, st_i, sg_i], dim=1)
+            weights = torch.stack(
+                [sm(tx_v), sm(gr_v), sm(st_v), sm(sg_v)], dim=1
+            )
+            embedding = torch.cat(
+                (r["specific_embedding_text"], r["specific_embedding_graph"],
+                 r["shared_text_embedding"], r["shared_graph_embedding"]),
+                dim=-1,
+            )
+            return embedding, tokens, weights
+
+    oracle = ComposedOracle()
+    oracle.eval()
+    return oracle
+
+
+def convert_composed_oracle(oracle, cfg) -> dict:
+    """Composed-oracle torch weights -> the COMPLETE flax MultimodalTokenizer
+    param tree (models/tokenizer_model.py): text_model / graph_encoder /
+    text_mapped / quantize."""
+    from medtok_tpu.models.bert import convert_hf_bert
+
+    bert_sd = oracle.text_model.state_dict()
+    sd = oracle.state_dict()
+    return {
+        "text_model": convert_hf_bert(bert_sd, cfg.text),
+        "graph_encoder": {
+            "emb": {"embedding": _np(sd["emb.weight"])},
+            "conv1": {
+                "lin": {"kernel": _np(sd["conv1.lin.weight"]).T.copy()},
+                "bias": _np(sd["conv1.bias"]),
+            },
+            "conv2": {
+                "lin": {"kernel": _np(sd["conv2.lin.weight"]).T.copy()},
+                "bias": _np(sd["conv2.bias"]),
+            },
+        },
+        "text_mapped": _linear(sd, "text_mapped"),
+        "quantize": convert_torch_quantizer(
+            {k[len("quantize."):]: v for k, v in sd.items()
+             if k.startswith("quantize.")}
+        ),
+    }
+
+
+def code_batch_to_torch(batch):
+    """CodeBatch (padded dense layout, data/types.py) -> the reference's flat
+    PyG-Batch-style tensors (dataset_creator.py:302-304): flat global node
+    ids, [2, E] flat edge_index over real edges only, and the batch vector."""
+    import torch
+
+    ids = np.asarray(batch.node_ids)
+    mask = np.asarray(batch.node_mask)
+    B, Ln = ids.shape
+    counts = mask.sum(axis=1).astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    flat_nodes = ids[mask].astype(np.int64)
+    batch_vec = np.repeat(np.arange(B, dtype=np.int64), counts)
+
+    src = np.asarray(batch.edge_src)
+    dst = np.asarray(batch.edge_dst)
+    w = np.asarray(batch.edge_weight)
+    E = src.shape[0]
+    assert E % B == 0
+    graph_of_edge = np.arange(E) // (E // B)
+    real = w > 0
+    flat_src = src[real] + offsets[graph_of_edge[real]]
+    flat_dst = dst[real] + offsets[graph_of_edge[real]]
+    edge_index = np.stack([flat_src, flat_dst]).astype(np.int64)
+    return (
+        torch.from_numpy(np.asarray(batch.input_ids, np.int64)),
+        torch.from_numpy(np.asarray(batch.attention_mask, np.int64)),
+        torch.from_numpy(flat_nodes),
+        torch.from_numpy(edge_index),
+        torch.from_numpy(batch_vec),
+    )
+
+
 def convert_torch_quantizer(sd: dict, *, num_layers: int = 2) -> dict:
     """Reference ``VectorQuantizer.state_dict()`` -> SoftVQQuantizer params.
 

@@ -147,7 +147,11 @@ def main() -> None:
     }
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
-    out.write_text(json.dumps(report, indent=2) + "\n")
+    # merge: quantizer-only keys live at top level; composed e2e sweeps
+    # (scripts/run_parity_e2e.py) add e2e_* sections that must survive
+    merged = json.loads(out.read_text()) if out.exists() else {}
+    merged.update(report)
+    out.write_text(json.dumps(merged, indent=2) + "\n")
     print(json.dumps(report, indent=2))
 
 
