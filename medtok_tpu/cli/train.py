@@ -69,8 +69,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--packed-text", type=str, default="auto",
                    choices=["auto", "on", "off"],
                    help="sequence-packed frozen-BERT forward in the train "
-                        "step (~2.4x step speedup; auto = on for single-"
-                        "process runs without --text-dropout-in-train)")
+                        "step (~2.4x step speedup; auto = on unless "
+                        "--text-dropout-in-train is set)")
+    p.add_argument("--text-dropout-in-train", action="store_true",
+                   help="run the frozen BERT with dropout during training "
+                        "(the reference's accidental text augmentation, "
+                        "tokenizer.py:148-152; incompatible with packed text)")
     p.add_argument("--edge-dropout-p", type=float, default=0.1,
                    help="graph-augmentation edge dropout "
                         "(dataset_creator.py:155-170)")
@@ -92,6 +96,13 @@ def config_from_args(args) -> "MedTokConfig":
         TrainConfig,
     )
 
+    if args.packed_text == "on" and args.text_dropout_in_train:
+        # fail here with a clear message instead of a bare assert deep in
+        # MultimodalTokenizer._encode at trace time
+        raise SystemExit(
+            "--packed-text on is incompatible with --text-dropout-in-train: "
+            "dropout noise would leak across packed segments"
+        )
     return MedTokConfig(
         model=ModelConfig(
             text=TextEncoderConfig(
@@ -115,6 +126,7 @@ def config_from_args(args) -> "MedTokConfig":
                 entropy_loss_ratio=args.entropy_loss_ratio,
             ),
             compute_dtype="bfloat16" if args.mixed_precision == "bf16" else "float32",
+            text_dropout_in_train=args.text_dropout_in_train,
         ),
         data=DataConfig(
             kg_path=args.kg_path,
@@ -133,11 +145,17 @@ def config_from_args(args) -> "MedTokConfig":
             mesh_dp=args.mesh_dp, mesh_tp=args.mesh_tp,
             shared_loss_beta=args.shared_loss_beta,
             specific_loss_lamb=args.specific_loss_lamb,
-            packed_text=(
-                args.packed_text == "on"
-                or (args.packed_text == "auto" and jax.process_count() == 1)
-            ),
+            packed_text=_resolve_packed_text(args),
         ),
+    )
+
+
+def _resolve_packed_text(args) -> bool:
+    if args.packed_text == "on":
+        return True
+    return (
+        args.packed_text == "auto"
+        and not args.text_dropout_in_train
     )
 
 

@@ -113,7 +113,10 @@ def pack_code_batch(
     from medtok_tpu.data.types import PackedTextBatch
 
     B, Lt = input_ids.shape
-    assert B % shards == 0
+    if B % shards != 0:
+        # not a bare assert: stripped under -O, and a silently non-dividing
+        # batch would drop trailing codes from the packed layout
+        raise ValueError(f"batch {B} not divisible by shards={shards}")
     bs = B // shards
     if lmax is None:
         lmax = Lt

@@ -57,6 +57,9 @@ def make_optimizer(cfg: MedTokConfig) -> optax.GradientTransformation:
     if t.max_grad_norm and t.max_grad_norm > 0:
         txs.append(optax.clip_by_global_norm(t.max_grad_norm))
     txs.append(optax.adam(t.lr, b1=t.beta1, b2=t.beta2))
+    # NOTE: optax.masked changes the opt_state pytree layout — checkpoints
+    # written by the pre-mask optimizer (commit c92e6fd and earlier) cannot be
+    # restored across that boundary.
     return optax.masked(optax.chain(*txs), _trainable_mask)
 
 
@@ -284,16 +287,18 @@ class Trainer:
         shard_host_local_batch assembles the global dp-sharded array — the
         DistributedSampler + DDP contract (train_MedTok.py:115-121). On a
         single host this degenerates to shard_batch."""
-        from medtok_tpu.parallel.mesh import shard_batch, shard_host_local_batch
+        from medtok_tpu.parallel.mesh import shard_host_local_batch
 
         t = self.cfg.train
         pack_rows = t.packed_rows_per_shard
-        if t.packed_text and jax.process_count() > 1:
-            raise NotImplementedError(
-                "packed_text is single-process for now (per-shard packing "
-                "must align with the multi-host rank shards)"
-            )
         dp = self.mesh.shape.get(DP_AXIS, 1)
+        nproc = jax.process_count()
+        if t.packed_text and dp % nproc != 0:
+            raise ValueError(
+                f"packed_text needs dp ({dp}) divisible by process count "
+                f"({nproc}): each process packs its own contiguous dp shards"
+            )
+        local_dp = dp // nproc  # dp shards this process's local batch covers
         log_t0 = time.time()
         log_steps = 0
         running = 0.0
@@ -305,15 +310,30 @@ class Trainer:
             if t.packed_text:
                 from medtok_tpu.data.packing import pack_code_batch
 
+                # each process packs its LOCAL batch into its own contiguous
+                # local_dp shard blocks — the multi-host generalisation of
+                # per-shard packing (the rank-shard contract of
+                # train_MedTok.py:115-131's DistributedSampler)
                 ids = np.asarray(batch.input_ids)
                 am = np.asarray(batch.attention_mask)
                 if pack_rows == 0:   # auto budget, fixed after first batch
-                    pack_rows = max(
-                        2, int(np.ceil(1.3 * am.sum() / dp / t.packed_row_len))
+                    est = max(
+                        2,
+                        int(np.ceil(
+                            1.3 * am.sum() / local_dp / t.packed_row_len
+                        )),
                     )
+                    if nproc > 1:
+                        # all ranks must agree on the static row budget
+                        from jax.experimental import multihost_utils
+
+                        est = int(multihost_utils.process_allgather(
+                            np.asarray([est], np.int64)
+                        ).max())
+                    pack_rows = est
                 try:
                     packed_np = pack_code_batch(
-                        ids, am, shards=dp, rows_per_shard=pack_rows,
+                        ids, am, shards=local_dp, rows_per_shard=pack_rows,
                         row_len=t.packed_row_len,
                     )
                 except ValueError as e:
@@ -321,8 +341,8 @@ class Trainer:
                         f"{e} — raise TrainConfig.packed_rows_per_shard "
                         f"(current {pack_rows})"
                     ) from e
-                packed_b = shard_batch(
-                    self.mesh, jax.tree.map(jnp.asarray, packed_np)
+                packed_b = shard_host_local_batch(
+                    self.mesh, jax.tree.map(np.asarray, packed_np)
                 )
             batch = shard_host_local_batch(self.mesh, batch)
             state, metrics = (
