@@ -144,7 +144,10 @@ def _export_all_packed(
 
     c_buckets = [c for c in (64, 128, 256, 512, 1024, 2048, 4096) if c <= 4 * n]
     if not c_buckets or c_buckets[-1] < min(n, 4096):
-        c_buckets.append(min(max(n, 8), 4096))
+        # fallback bucket for tiny vocabs must stay divisible by the mesh
+        # size or the dp-sharded quant_step can't lay out its inputs
+        q = mesh.size if mesh is not None else 8
+        c_buckets.append(min(-(-max(n, 8) // q) * q, 4096))
 
     def c_bucket(m):
         for c in c_buckets:

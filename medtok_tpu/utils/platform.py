@@ -15,7 +15,8 @@ import os
 def apply_platform_env() -> None:
     want = os.environ.get("JAX_PLATFORMS")
     ndev = os.environ.get("JAX_NUM_CPU_DEVICES")
-    if not want and not ndev:
+    cache = os.environ.get("MEDTOK_COMPILE_CACHE")
+    if not want and not ndev and not cache:
         return
     import jax
 
@@ -24,5 +25,13 @@ def apply_platform_env() -> None:
             jax.config.update("jax_platforms", want)
         if ndev:  # per-process CPU device count (multi-host CPU test pods)
             jax.config.update("jax_num_cpu_devices", int(ndev))
+        if cache:
+            # persistent XLA compilation cache shared across CLI
+            # subprocesses — the test suite's train/export/ehr/qa CLIs
+            # recompile identical tiny programs otherwise (test_cli wall
+            # time was compile-dominated)
+            os.makedirs(cache, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except RuntimeError:
         pass  # backends already initialized; too late to switch

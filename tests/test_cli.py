@@ -32,10 +32,15 @@ def workspace(tmp_path_factory):
 
 
 def _run(mod, *args):
+    # MEDTOK_COMPILE_CACHE: persistent XLA cache shared by every CLI
+    # subprocess (and across suite runs on the same box) — the CLIs compile
+    # identical tiny programs, and cold compiles dominated this file's wall
+    # time (2400 s worst case on a contended single-core box)
     return subprocess.run(
         [sys.executable, "-m", mod, *args],
         capture_output=True, text=True, timeout=2400,
-        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu",
+             "MEDTOK_COMPILE_CACHE": "/tmp/medtok_xla_cache"},
     )
 
 
