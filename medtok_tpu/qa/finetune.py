@@ -49,19 +49,6 @@ class QAFinetuner:
             llm_cfg, lora_rank=cfg.lora_rank, lora_alpha=cfg.lora_alpha,
             lora_targets=cfg.lora_targets,
         )
-        self.model = LlamaModel(self.llm_cfg)
-        self.soft_prompt = MedTokSoftPrompt(
-            embeddings=embeddings, hidden_size=self.llm_cfg.hidden_size,
-            cutoff_len=cfg.cutoff_len,
-        )
-        # adamw (incl. its weight decay) touches ONLY the trainable leaves;
-        # frozen leaves get zero updates — base LLM weights stay bitwise frozen
-        self.tx = optax.multi_transform(
-            {"train": optax.adamw(cfg.lr), "freeze": optax.set_to_zero()},
-            lambda params: jax.tree.map(
-                lambda m: "train" if m else "freeze", self.trainable_mask(params)
-            ),
-        )
         self.mesh = None
         if cfg.mesh_dp * cfg.mesh_tp > 1:
             from medtok_tpu.parallel.mesh import make_mesh
@@ -69,7 +56,23 @@ class QAFinetuner:
 
             check_divisibility(self.llm_cfg, cfg.mesh_tp)
             self.mesh = make_mesh(dp=cfg.mesh_dp, tp=cfg.mesh_tp)
-        self._step = jax.jit(self._step_impl)
+        # mesh passed into the model: enables Megatron TP activation
+        # constraints inside the layers (head-sharded attention buffers)
+        self.model = LlamaModel(self.llm_cfg, mesh=self.mesh)
+        self.soft_prompt = MedTokSoftPrompt(
+            embeddings=embeddings, hidden_size=self.llm_cfg.hidden_size,
+            cutoff_len=cfg.cutoff_len,
+        )
+        # the optimizer sees ONLY the trainable subtree (LoRA + projector):
+        # the step differentiates w.r.t. that subtree alone, so no gradient
+        # or adam-moment buffers ever materialize for the frozen 8B base —
+        # at 8B that is the difference between ~2 GB/chip and ~6 GB/chip of
+        # extra state on a 16 GB v5e (MedTok_fintune_llama3.py:241-246's
+        # LoRA-only state_dict, taken to its memory conclusion)
+        self.tx = optax.adamw(cfg.lr)
+        # donate the trainable params + opt state (updated in place); the
+        # frozen base flows through unchanged and is never copied
+        self._step = jax.jit(self._step_impl, donate_argnums=(0, 2))
 
     # trainability mask: LoRA + projector only (MedTok_fintune_llama3.py:241-246)
     @staticmethod
@@ -130,31 +133,63 @@ class QAFinetuner:
             embed_fn,
             self.cfg.total_len,
         )
-        logits, _ = self.model.apply(
+        hidden, _ = self.model.apply(
             {"params": llm_p},
             inputs_embeds=packed.inputs_embeds,
             attention_mask=packed.attention_mask,
+            return_hidden=True,
         )
-        # causal LM shift: predict token t+1 from position t
-        logits = logits[:, :-1]
-        labels = packed.labels[:, 1:]
+        # Causal LM shift: predict token t+1 from position t — but only over
+        # the LABEL WINDOW. The soft-prompt packer right-aligns rows, so all
+        # non -100 labels live at positions >= cutoff_len; at 8B the
+        # full-sequence [B, L, 128256] logits would be the largest buffer in
+        # the whole train step (fwd + cotangent), for positions that are all
+        # masked out.
+        cl = self.cfg.cutoff_len
+        hidden = hidden[:, cl - 1:-1]
+        labels = packed.labels[:, cl:]
+        logits = self.model.apply(
+            {"params": llm_p}, hidden, method=LlamaModel.apply_lm_head
+        )
+        if self.mesh is not None:
+            # keep the vocab axis TP-sharded through the loss: the logsumexp
+            # and label gather reduce shard-wise with a psum instead of
+            # all-gathering [B, W, V] logits onto every chip
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from medtok_tpu.parallel.mesh import TP_AXIS
+
+            logits = jax.lax.with_sharding_constraint(
+                logits,
+                NamedSharding(self.mesh, P(P.UNCONSTRAINED, None, TP_AXIS)),
+            )
+        logits = logits.astype(jnp.float32)
         valid = labels != -100
         safe = jnp.where(valid, labels, 0)
         ll = optax.softmax_cross_entropy_with_integer_labels(logits, safe)
         return jnp.sum(ll * valid) / jnp.maximum(jnp.sum(valid), 1)
 
-    def _step_impl(self, params, opt_state, batch):
-        loss, grads = jax.value_and_grad(self.loss_fn)(params, batch)
-        updates, opt_state = self.tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+    def _step_impl(self, train_p, frozen_p, opt_state, batch):
+        """Differentiates w.r.t. the trainable subtree ONLY: XLA never builds
+        the [H, H]/[H, I] gradient matmuls or buffers for the frozen base."""
+        loss, grads = jax.value_and_grad(
+            lambda tp: self.loss_fn(combine_params(tp, frozen_p), batch)
+        )(train_p)
+        updates, opt_state = self.tx.update(grads, opt_state, train_p)
+        train_p = optax.apply_updates(train_p, updates)
+        return train_p, opt_state, loss
+
+    def split_params(self, params):
+        """(trainable, frozen) complementary trees with None holes."""
+        return partition_params(params, self.trainable_mask(params))
 
     def fit(
         self, params, rows: list[dict],
         *, log_fn: Callable[[int, float], None] | None = None,
     ):
         cfg = self.cfg
-        opt_state = self.tx.init(params)
+        train_p, frozen_p = self.split_params(params)
+        opt_state = self.tx.init(train_p)
         rng = np.random.default_rng(cfg.seed)
         step = 0
         for _ in range(cfg.epochs):
@@ -164,13 +199,30 @@ class QAFinetuner:
                     [rows[i] for i in order[start:start + cfg.batch_size]],
                     cutoff_len=cfg.cutoff_len,
                 )
-                params, opt_state, loss = self._step(
-                    params, opt_state, self.shard_batch(batch)
+                train_p, opt_state, loss = self._step(
+                    train_p, frozen_p, opt_state, self.shard_batch(batch)
                 )
                 step += 1
                 if log_fn:
                     log_fn(step, float(loss))
-        return params
+        return combine_params(train_p, frozen_p)
+
+
+def partition_params(params, mask):
+    """Split a param tree into complementary (trainable, frozen) trees; the
+    missing positions hold None (an empty pytree node, so optax/grad skip
+    them)."""
+    train = jax.tree.map(lambda p, m: p if m else None, params, mask)
+    frozen = jax.tree.map(lambda p, m: None if m else p, params, mask)
+    return train, frozen
+
+
+def combine_params(train, frozen):
+    """Inverse of partition_params."""
+    return jax.tree.map(
+        lambda t, f: t if f is None else f, train, frozen,
+        is_leaf=lambda x: x is None,
+    )
 
 
 def _collate_rows(rows: list[dict], *, cutoff_len: int) -> dict:

@@ -21,6 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from medtok_tpu.parallel.mesh import DP_AXIS, TP_AXIS
+
 
 @dataclasses.dataclass(frozen=True)
 class LlamaConfig:
@@ -38,6 +40,10 @@ class LlamaConfig:
     lora_rank: int = 0
     lora_alpha: float = 32.0
     lora_targets: tuple[str, ...] = ("q_proj", "v_proj")
+    # gradient rematerialization per layer: at 8B (B=16, L=512, 32 layers)
+    # saved fwd activations are the difference between fitting a v5e-8 and
+    # OOM (MedTok_fintune_llama3.py:82-87 trains at exactly that shape)
+    remat: bool = False
 
 
 LLAMA31_8B = LlamaConfig()
@@ -94,6 +100,25 @@ def rope(q, k, positions, theta, head_dim):
 class LlamaAttention(nn.Module):
     cfg: LlamaConfig
     dtype: Any = jnp.float32
+    mesh: Any = None   # jax.sharding.Mesh for TP activation constraints
+
+    def _shard(self, x, *spec):
+        """Megatron-style activation annotation (heads over 'tp'): keeps
+        SPMD propagation from losing the head sharding through the GQA
+        repeat (which would replicate the [B, H, L, L] attention buffers on
+        every chip). The batch dim stays UNCONSTRAINED — it inherits
+        whatever dp sharding the inputs carry, and init-time dummy batches
+        need no divisibility."""
+        if self.mesh is None or TP_AXIS not in self.mesh.shape:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = tuple(
+            P.UNCONSTRAINED if a == DP_AXIS else a for a in spec
+        )
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.mesh, P(*spec))
+        )
 
     @nn.compact
     def __call__(self, x, positions, mask, cache=None):
@@ -109,6 +134,9 @@ class LlamaAttention(nn.Module):
         q = proj("q_proj", H * Dh)(x).reshape(B, L, H, Dh)
         k = proj("k_proj", KV * Dh)(x).reshape(B, L, KV, Dh)
         v = proj("v_proj", KV * Dh)(x).reshape(B, L, KV, Dh)
+        q = self._shard(q, DP_AXIS, None, TP_AXIS, None)
+        k = self._shard(k, DP_AXIS, None, TP_AXIS, None)
+        v = self._shard(v, DP_AXIS, None, TP_AXIS, None)
         q, k = rope(q, k, positions, c.rope_theta, Dh)
 
         if cache is not None:
@@ -121,60 +149,79 @@ class LlamaAttention(nn.Module):
 
         # GQA: repeat kv heads
         rep = H // KV
-        k = jnp.repeat(k, rep, axis=2)
-        v = jnp.repeat(v, rep, axis=2)
+        k = self._shard(jnp.repeat(k, rep, axis=2), DP_AXIS, None, TP_AXIS, None)
+        v = self._shard(jnp.repeat(v, rep, axis=2), DP_AXIS, None, TP_AXIS, None)
 
         logits = jnp.einsum(
             "blhd,bmhd->bhlm", q, k, preferred_element_type=jnp.float32
         ) / np.sqrt(Dh)
+        logits = self._shard(logits, DP_AXIS, TP_AXIS, None, None)
         logits = jnp.where(mask, logits, -1e9)
         attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
         out = jnp.einsum("bhlm,bmhd->blhd", attn, v).reshape(B, L, H * Dh)
+        out = self._shard(out, DP_AXIS, None, TP_AXIS)
         return LoraDense(c.hidden_size, rank=c.lora_rank if "o_proj" in c.lora_targets else 0,
                          alpha=c.lora_alpha, name="o_proj")(out), new_cache
 
 
 class LlamaMLP(nn.Module):
     cfg: LlamaConfig
+    mesh: Any = None
 
     @nn.compact
     def __call__(self, x):
         c = self.cfg
         gate = nn.Dense(c.intermediate_size, use_bias=False, name="gate_proj")(x)
         up = nn.Dense(c.intermediate_size, use_bias=False, name="up_proj")(x)
-        return nn.Dense(c.hidden_size, use_bias=False, name="down_proj")(
-            nn.silu(gate) * up
-        )
+        h = nn.silu(gate) * up
+        if self.mesh is not None and TP_AXIS in self.mesh.shape:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            h = jax.lax.with_sharding_constraint(
+                h, NamedSharding(
+                    self.mesh, P(P.UNCONSTRAINED, None, TP_AXIS)
+                )
+            )
+        return nn.Dense(c.hidden_size, use_bias=False, name="down_proj")(h)
 
 
 class LlamaLayer(nn.Module):
     cfg: LlamaConfig
+    mesh: Any = None
 
     @nn.compact
     def __call__(self, x, positions, mask, cache=None):
         c = self.cfg
         w1 = self.param("input_layernorm", nn.initializers.ones, (c.hidden_size,))
-        h, new_cache = LlamaAttention(c, name="self_attn")(
+        h, new_cache = LlamaAttention(c, mesh=self.mesh, name="self_attn")(
             rms_norm(x, w1, c.rms_norm_eps), positions, mask, cache
         )
         x = x + h
         w2 = self.param("post_attention_layernorm", nn.initializers.ones,
                         (c.hidden_size,))
-        x = x + LlamaMLP(c, name="mlp")(rms_norm(x, w2, c.rms_norm_eps))
+        x = x + LlamaMLP(c, mesh=self.mesh, name="mlp")(
+            rms_norm(x, w2, c.rms_norm_eps)
+        )
         return x, new_cache
 
 
 class LlamaModel(nn.Module):
     """Causal LM. __call__ accepts input_ids OR inputs_embeds (the soft-prompt
-    path injects embeddings directly, review.py:77-88)."""
+    path injects embeddings directly, review.py:77-88). ``mesh`` (optional)
+    enables Megatron-style TP activation-sharding constraints inside the
+    layers — params are sharded by qa.sharding; these keep the ACTIVATIONS
+    head-sharded too."""
 
     cfg: LlamaConfig
+    mesh: Any = None
 
     def setup(self):
         c = self.cfg
         self.embed_tokens = nn.Embed(c.vocab_size, c.hidden_size, name="embed_tokens")
+        layer_cls = nn.remat(LlamaLayer) if c.remat else LlamaLayer
         self.layers_list = [
-            LlamaLayer(c, name=f"layers_{i}") for i in range(c.num_layers)
+            layer_cls(c, mesh=self.mesh, name=f"layers_{i}")
+            for i in range(c.num_layers)
         ]
         self.final_norm = self.param("norm", nn.initializers.ones, (c.hidden_size,))
         if not c.tie_word_embeddings:
@@ -182,6 +229,16 @@ class LlamaModel(nn.Module):
 
     def embed(self, input_ids):
         return self.embed_tokens(input_ids)
+
+    def apply_lm_head(self, x):
+        """Vocab projection on an arbitrary [..., H] tensor. The finetune
+        loss calls this on the label WINDOW only — at 8B the full-sequence
+        [B, L, 128256] logits (and their cotangents) are the single largest
+        train-step buffer, and half the positions are prompt slots whose
+        labels are -100."""
+        if self.cfg.tie_word_embeddings:
+            return x @ self.embed_tokens.embedding.T
+        return self.lm_head(x)
 
     def __call__(
         self,
@@ -191,6 +248,7 @@ class LlamaModel(nn.Module):
         positions=None,
         caches=None,
         cache_pos=None,
+        return_hidden=False,
     ):
         c = self.cfg
         x = inputs_embeds if inputs_embeds is not None else self.embed_tokens(input_ids)
@@ -219,10 +277,11 @@ class LlamaModel(nn.Module):
             x, nc = layer(x, positions, mask, cache)
             new_caches.append(nc)
         x = rms_norm(x, self.final_norm, c.rms_norm_eps)
-        if c.tie_word_embeddings:
-            logits = x @ self.embed_tokens.embedding.T
-        else:
-            logits = self.lm_head(x)
+        if return_hidden:
+            # final hidden states, no vocab projection (the finetune loss
+            # applies apply_lm_head on the label window only)
+            return x, (new_caches if caches is not None else None)
+        logits = self.apply_lm_head(x)
         return logits, (new_caches if caches is not None else None)
 
 
@@ -230,11 +289,14 @@ class LlamaModel(nn.Module):
 # HF PyTorch state_dict -> flax params
 # ---------------------------------------------------------------------------
 
-def convert_hf_llama(state_dict: dict, cfg: LlamaConfig) -> dict:
+def convert_hf_llama(state_dict: dict, cfg: LlamaConfig, *, dtype=None) -> dict:
+    """``dtype=jnp.bfloat16`` loads the base weights in bf16 — the 8B
+    production layout (16 GB of params; fp32 would not fit a v5e-8 at all)."""
     def arr(key):
         v = state_dict[key]
         v = v.detach().cpu().float().numpy() if hasattr(v, "detach") else np.asarray(v)
-        return jnp.asarray(v)
+        out = jnp.asarray(v)
+        return out.astype(dtype) if dtype is not None else out
 
     def lin(prefix, lora=False):
         k = {"kernel": arr(f"{prefix}.weight").T}
@@ -272,7 +334,10 @@ def convert_hf_llama(state_dict: dict, cfg: LlamaConfig) -> dict:
 # Generation (greedy / temperature+top-p; MedTok_QA_inference.py:121-162)
 # ---------------------------------------------------------------------------
 
+# Keyed on (model, sampler); bounded LRU so model sweeps don't leak compiled
+# executables (each entry pins jitted prefill/step/scan closures).
 _DECODE_FN_CACHE: dict = {}
+_DECODE_FN_CACHE_MAX = 8
 
 
 def _make_decode_fns(model: LlamaModel, temperature: float, top_p: float,
@@ -285,6 +350,8 @@ def _make_decode_fns(model: LlamaModel, temperature: float, top_p: float,
     key = (model, float(temperature), float(top_p), eos_token_id)
     if key in _DECODE_FN_CACHE:
         return _DECODE_FN_CACHE[key]
+    while len(_DECODE_FN_CACHE) >= _DECODE_FN_CACHE_MAX:
+        _DECODE_FN_CACHE.pop(next(iter(_DECODE_FN_CACHE)))
 
     def sample(last, rng):
         if temperature > 0:
