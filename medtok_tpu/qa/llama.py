@@ -111,6 +111,12 @@ class LlamaAttention(nn.Module):
         need no divisibility."""
         if self.mesh is None or TP_AXIS not in self.mesh.shape:
             return x
+        # a named dim must divide by its mesh axis; small-config meshes can
+        # have tp > num_kv_heads (the KERNEL column sharding then splits
+        # within a head — valid for params, not for a head-axis constraint)
+        for dim, axis in enumerate(spec):
+            if isinstance(axis, str) and x.shape[dim] % self.mesh.shape[axis]:
+                return x
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         spec = tuple(
@@ -174,7 +180,8 @@ class LlamaMLP(nn.Module):
         gate = nn.Dense(c.intermediate_size, use_bias=False, name="gate_proj")(x)
         up = nn.Dense(c.intermediate_size, use_bias=False, name="up_proj")(x)
         h = nn.silu(gate) * up
-        if self.mesh is not None and TP_AXIS in self.mesh.shape:
+        if (self.mesh is not None and TP_AXIS in self.mesh.shape
+                and h.shape[-1] % self.mesh.shape[TP_AXIS] == 0):
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             h = jax.lax.with_sharding_constraint(
