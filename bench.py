@@ -60,10 +60,15 @@ def setup_dataset(workdir: str):
 
     os.makedirs(workdir, exist_ok=True)
     rng = np.random.default_rng(0)
-    df = synthetic_vocab_frame(rng, num_codes=N_CODES, num_kg_nodes=KG_NODES)
+    df = synthetic_vocab_frame(
+        rng, num_codes=N_CODES, num_kg_nodes=KG_NODES, heavy_tail=True
+    )
     parquet = os.path.join(workdir, "codes.parquet")
     df.to_parquet(parquet)
-    kg = synthetic_kg(rng, num_nodes=KG_NODES, num_edges=KG_EDGES)
+    kg = synthetic_kg(
+        rng, num_nodes=KG_NODES, num_edges=KG_EDGES, local_frac=0.7,
+        local_window=64,
+    )
 
     # vocab covers the syllable morphemes (whole + '##' continuations) so
     # rare compound terms split into 2-3 subwords like real bert-base does
@@ -80,10 +85,13 @@ def setup_dataset(workdir: str):
     # fine-grained text buckets: measured bucket-time share is dominated by
     # the 17-32-token group — the 24 bucket splits it; 8 catches the very
     # short codes. Sorting keeps batches homogeneous, XLA compiles one
-    # program per bucket (before the clock starts).
+    # program per bucket (before the clock starts). Node/edge buckets carry
+    # the heavy subgraph tail (~9% of codes at 17..128 nodes, ~3% at
+    # 129..512 — reference subgraphs are unbounded, dataset_creator.py:
+    # 250-276) with locality-heavy KG edges so the GCN sees real traffic.
     cfg = DataConfig(
-        text_buckets=(8, 16, 24, 32, 48, 64), node_buckets=(16,),
-        edge_buckets=(32,), max_text_length=64,
+        text_buckets=(8, 16, 24, 32, 48, 64), node_buckets=(16, 128, 512),
+        edge_buckets=(32, 1024, 8192), max_text_length=64,
     )
     return MedCodeDataset(kg, parquet, tokenizer, cfg=cfg)
 
@@ -185,6 +193,45 @@ def main() -> None:
                 {"n_shards": NSHARDS, "batch": BATCH})
 
 
+# --------------------------------------------------------------- MFU -------
+# Model-FLOPs utilisation against v5e's 197 TFLOP/s bf16 peak. The FLOP model
+# counts the arithmetically dominant matmuls (2 FLOP/MAC):
+# - BERT: per token, num_layers * (qkvo 8H^2 + FFN 4HI + attention 4*L*H at
+#   the packed row length 128);
+# - VQ distance sweeps: per code (16/3)*N*D (two full-codebook shared sweeps
+#   + two N/3 region sweeps).
+# GCN/cross-attention are <1% of the total at these shapes and are omitted —
+# the reported MFU is therefore a slight UNDER-estimate. The fp32 distance
+# matmuls run at half the bf16 peak, which the single-peak denominator
+# deliberately ignores (documented in docs/PERF.md).
+
+V5E_BF16_PEAK = 197e12
+
+
+def _bert_flops_per_token(row_len: int = 128) -> float:
+    from medtok_tpu.config import ModelConfig
+
+    t = ModelConfig().text
+    H, I = t.hidden_size, t.intermediate_size
+    return t.num_layers * (8 * H * H + 4 * H * I + 4 * row_len * H)
+
+
+def _vq_flops_per_code() -> float:
+    from medtok_tpu.config import ModelConfig
+
+    q = ModelConfig().quantizer
+    return (16 / 3) * q.codebook_size * q.codebook_embed_dim
+
+
+def export_mfu(wall: float, bert_tokens: int, vq_codes: int):
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return None
+    flops = bert_tokens * _bert_flops_per_token() + vq_codes * _vq_flops_per_code()
+    return round(flops / wall / (V5E_BF16_PEAK * jax.device_count()), 3)
+
+
 def train_throughput(jax, jnp) -> dict:
     """Training-step throughput at the reference global batch (1024,
     train_MedTok.py:387) on the visible chips — fwd+bwd through the full
@@ -250,13 +297,147 @@ def train_throughput(jax, jnp) -> dict:
     out["train_pack_speedup"] = round(
         out["train_step_ms_b1024"] / out["train_packed_step_ms_b1024"], 2
     )
+    # model-FLOPs utilisation of the packed step: frozen BERT is fwd-only;
+    # VQ runs (16/3)ND main + (4/3)ND aug-specific sweeps per code, x3 for
+    # fwd+bwd (see the MFU note above — a slight under-estimate)
+    q = mcfg.quantizer
+    flops = (
+        rows * 128 * ndev * _bert_flops_per_token()
+        + GB * (20 / 3) * q.codebook_size * q.codebook_embed_dim * 3
+    )
+    out["mfu_train"] = round(
+        flops / (out["train_packed_step_ms_b1024"] / 1e3)
+        / (V5E_BF16_PEAK * ndev), 3,
+    )
     return out
+
+
+def ehr_train_step(jax, jnp) -> dict:
+    """Full EHR pipeline train step at the REFERENCE shape: EHRModel
+    fwd+bwd+Adam at batch 256, code sequence 2000 (+3 specials), 4 encoder
+    layers, flash attention on (/root/reference/MedTok_EHR_Tutorial/
+    MedTok_EHR.py:56,78, EHRModel_token.py:212-247). The dense-attention
+    variant cannot run: its [256,4,2003,2003] score tensor is ~16 GB fp32,
+    over a v5e chip's HBM (documented, not timed)."""
+    if jax.default_backend() != "tpu":
+        return {"ehr_check": "skipped (no tpu)"}
+    from medtok_tpu.ehr.dataset import EHRBatch
+    from medtok_tpu.ehr.train import EHRTrainConfig, EHRTrainer
+
+    B, C, V, VOCAB = 256, 2000, 100, 600_000
+    rng = np.random.default_rng(13)
+    table = rng.standard_normal((VOCAB, 256)).astype(np.float32)
+    n_codes = rng.integers(C // 4, C, B)
+    pad = np.arange(C)[None, :] >= n_codes[:, None]
+    batch = EHRBatch(
+        codes=rng.integers(0, VOCAB + 1, (B, C)).astype(np.int32),
+        visit_ids=np.minimum(
+            rng.integers(0, V, (B, C)), (np.arange(C)[None] // 20)
+        ).astype(np.int32),
+        pad_mask=pad,
+        gender=rng.integers(0, 2, B).astype(np.int32),
+        ethnicity=rng.integers(0, 4, B).astype(np.int32),
+        time_within=rng.integers(0, 24, (B, V, 3)).astype(np.int32),
+        time_between=rng.integers(0, 24, (B, V, 3)).astype(np.int32),
+        label_onehot=np.eye(2, dtype=np.float32)[rng.integers(0, 2, B)],
+        label_raw=rng.integers(0, 2, B).astype(np.int32),
+    )
+    import jax.numpy as _jnp
+
+    batch = jax.tree.map(_jnp.asarray, batch)
+    cfg = EHRTrainConfig(task="readmission", batch_size=B, max_medical_code=C)
+    trainer = EHRTrainer(cfg, table, num_class=2)
+    params, opt_state = trainer.init(batch)
+    rng_j = jax.random.PRNGKey(0)
+    out = trainer._train_step(params, opt_state, batch, rng_j)
+    float(jax.device_get(out[2]))          # compile + warm (loss)
+    times = []
+    for trial in range(4):
+        t0 = time.perf_counter()
+        out = trainer._train_step(params, opt_state, batch, rng_j)
+        float(jax.device_get(out[2]))
+        if trial:
+            times.append(time.perf_counter() - t0)
+    ms = 1e3 * min(times)
+    return {
+        "ehr_train_step_ms_b256": round(ms, 1),
+        "ehr_train_patients_per_sec": round(B / (ms / 1e3), 1),
+        "ehr_flash": bool(trainer.model.use_flash),
+        "ehr_shape": f"B={B} L={C + 3} layers={cfg.num_layers}",
+        "ehr_dense_note": "dense scores ~16GB fp32: does not fit HBM",
+    }
+
+
+def qa_finetune_step(jax, jnp) -> dict:
+    """QA LoRA finetune step (soft-prompt + Llama + masked CE + adamw over
+    LoRA/projector only) at the largest per-chip config: Llama-3.2-1B shape
+    in bf16 with remat, B=16, L=512 — the reference trains 8B at this batch
+    (MedTok_fintune_llama3.py:82-87); 8B itself needs tp=8, which the
+    one-chip bench cannot host — its memory fit is AOT-validated instead
+    (scripts/qa_8b_memory.py, tests/test_qa_8b_memory.py)."""
+    if jax.default_backend() != "tpu":
+        return {"qa_check": "skipped (no tpu)"}
+    from medtok_tpu.qa.finetune import QAFinetuneConfig, QAFinetuner
+    from medtok_tpu.qa.llama import LlamaConfig
+
+    cfg1b = LlamaConfig(
+        vocab_size=128256, hidden_size=2048, intermediate_size=8192,
+        num_layers=16, num_heads=32, num_kv_heads=8,
+        max_position_embeddings=8192, remat=True,
+    )
+    rng = np.random.default_rng(17)
+    table = rng.standard_normal((600_000, 256)).astype(np.float32)
+    qcfg = QAFinetuneConfig(lora_rank=16, cutoff_len=256, total_len=512,
+                            batch_size=16)
+    ft = QAFinetuner(cfg1b, table, qcfg)
+    params = ft.init_params(None)
+    # bf16 base (the production loading convention, convert_hf_llama
+    # dtype=bf16); LoRA/projector stay fp32
+    mask = ft.trainable_mask(params)
+    params = jax.tree.map(
+        lambda p, m: p if m or p.dtype != jnp.float32 else p.astype(jnp.bfloat16),
+        params, mask,
+    )
+    train_p, frozen_p = ft.split_params(params)
+    opt_state = ft.tx.init(train_p)
+    B, L, CL = qcfg.batch_size, qcfg.total_len, qcfg.cutoff_len
+    batch = {
+        # first cutoff_len slots: MedTok vocab ids; rest: LLM text tokens
+        "input_ids": np.concatenate([
+            rng.integers(0, 600_001, (B, CL)),
+            rng.integers(0, cfg1b.vocab_size, (B, L - CL)),
+        ], axis=1).astype(np.int32),
+        "attention_mask": np.ones((B, L), np.int32),
+        "labels": np.where(
+            rng.random((B, L - CL)) < 0.1,
+            rng.integers(0, cfg1b.vocab_size, (B, L - CL)), -100,
+        ).astype(np.int32),
+    }
+    train_p, opt_state, loss = ft._step(train_p, frozen_p, opt_state, batch)
+    float(jax.device_get(loss))
+    times = []
+    for trial in range(4):
+        t0 = time.perf_counter()
+        train_p, opt_state, loss = ft._step(train_p, frozen_p, opt_state, batch)
+        float(jax.device_get(loss))
+        if trial:
+            times.append(time.perf_counter() - t0)
+    ms = 1e3 * min(times)
+    return {
+        "qa_finetune_step_ms": round(ms, 1),
+        "qa_finetune_tokens_per_sec": round(B * L / (ms / 1e3), 1),
+        "qa_config": "llama-1B-shape bf16 remat, B=16 L=512, LoRA r=16",
+    }
 
 
 def emit_result(jax, jnp, wall, t_tok, checksum, extra) -> None:
     # extras must never cost the headline metric (shared-pool flakiness)
     kernel = {}
-    for fn in (kernel_ab, flash_ab, train_throughput):
+    extras = (kernel_ab, flash_ab, train_throughput, ehr_train_step,
+              qa_finetune_step)
+    if os.environ.get("MEDTOK_BENCH_EXTRAS", "1") == "0":
+        extras = ()
+    for fn in extras:
         try:
             kernel.update(fn(jax, jnp))
         except Exception as e:
@@ -284,11 +465,27 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
     """Sequence-packed export sweep (data/packing.py): descriptions share
     fixed [R=256, P=128] BERT rows (ONE compiled text-encoder shape, zero
     padding inside rows, MXU-shaped attention); the quantizer tail runs at
-    bucketed code counts. Returns the timed result dict."""
+    bucketed code counts. Returns the timed result dict.
+
+    Codes group by NODE bucket first (the vocab has a heavy subgraph tail:
+    ~9% at 17..128 nodes, ~3% at 129..512 — synthetic_vocab_frame
+    heavy_tail), then by text length within a bucket; every quantizer
+    program shape (Ct, node bucket) is pinned via force_shapes and compiled
+    before the clock starts."""
     from medtok_tpu.data.packing import pack_texts
 
-    R, P, LMAX = 256, 128, 64
-    C_BUCKETS = (512, 768, 1024, 1536, 2048, 3072, 4096)
+    R = int(os.environ.get("MEDTOK_BENCH_PACK_ROWS", 256))
+    P, LMAX = 128, 64
+    NB = dataset.cfg.node_buckets
+    EB = dataset.cfg.edge_buckets
+    # per-node-bucket code-count buckets: big-graph groups run at smaller
+    # batch (they are rare; huge C x 512-node programs would waste padding)
+    C_PER_NB = {
+        0: (512, 768, 1024, 1536, 2048, 3072, 4096),
+        1: (256, 512, 1024),
+        2: (64, 128, 256),
+    }
+    C_BUCKETS = C_PER_NB[0]
 
     @jax.jit
     def bert_step(params, ids, seg, pos):
@@ -316,11 +513,18 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
             + jnp.sum(out.weights)
         )
 
-    def c_bucket(n):
-        for c in C_BUCKETS:
+    def c_bucket(n, bi):
+        for c in C_PER_NB[bi]:
             if n <= c:
                 return c
-        return C_BUCKETS[-1]
+        return C_PER_NB[bi][-1]
+
+    def forced(bi):
+        # Lt pinned at the smallest bucket: the quantizer tail never reads
+        # the CodeBatch text fields (text comes in as packed hidden states),
+        # so one program per (Ct, node-bucket) pair — nothing recompiles
+        # inside the timed region
+        return (dataset.cfg.text_buckets[0], NB[bi], EB[bi])
 
     # ---- precompile (outside the clock) ----
     rng = np.random.default_rng(2)
@@ -332,13 +536,14 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
                             jnp.int32)
     flat0 = bert_step(params, dummy_ids, dummy_seg, dummy_pos)
     flat0.block_until_ready()
-    for C in C_BUCKETS:
-        idxs = list(range(min(C, len(dataset))))
-        idxs = (idxs * (C // len(idxs) + 1))[:C]
-        b = dataset.make_batch(idxs, aug_seed=None)
-        gi = jnp.zeros((C, LMAX), jnp.int32)
-        tm = jnp.zeros((C, LMAX), bool).at[:, 0].set(True)
-        float(quant_step(jnp.zeros(()), params, usage, flat0, gi, tm, b))
+    for bi in range(len(NB)):
+        for C in C_PER_NB[bi]:
+            idxs = list(range(min(C, len(dataset))))
+            idxs = (idxs * (C // len(idxs) + 1))[:C]
+            b = dataset.make_batch(idxs, aug_seed=None, force_shapes=forced(bi))
+            gi = jnp.zeros((C, LMAX), jnp.int32)
+            tm = jnp.zeros((C, LMAX), bool).at[:, 0].set(True)
+            float(quant_step(jnp.zeros(()), params, usage, flat0, gi, tm, b))
 
     # ---- TIMED ----
     NSHARDS = int(os.environ.get("MEDTOK_BENCH_SHARDS", 8))
@@ -348,45 +553,64 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
     carry = jnp.zeros((), jnp.float32)
     t_tok = 0.0
     n_steps = 0
+    n_big = 0
+    bert_tokens = 0
+    vq_codes = 0
     for s in range(NSHARDS):
         lo, hi = int(bounds[s]), int(bounds[s + 1])
         tt = time.perf_counter()
         dataset.tokenize_rows(range(lo, hi))
         texts = [dataset.text_ids(i) for i in range(lo, hi)]
         lens = np.fromiter((len(t) for t in texts), np.int64, hi - lo)
+        nsizes = np.fromiter(
+            (len(dataset.node_list(i)) for i in range(lo, hi)), np.int64,
+            hi - lo,
+        )
         t_tok += time.perf_counter() - tt
-        order = np.argsort(lens, kind="stable")
+        bucket_of = np.searchsorted(np.asarray(NB), nsizes)
+        bucket_of = np.minimum(bucket_of, len(NB) - 1)
 
-        i = 0
-        while i < len(order):
-            from medtok_tpu.data.packing import take_group
+        for bi in range(len(NB)):
+            sel = np.where(bucket_of == bi)[0]
+            if not len(sel):
+                continue
+            n_big += len(sel) if bi > 0 else 0
+            order = sel[np.argsort(lens[sel], kind="stable")]
+            i = 0
+            while i < len(order):
+                from medtok_tpu.data.packing import take_group
 
-            j = take_group(lens, order, i, row_len=P, num_rows=R,
-                           max_codes=C_BUCKETS[-1])
-            group = order[i:j]
-            i = j
-            C = c_bucket(len(group))
-            pad = np.repeat(group[-1:], C - len(group))
-            idxs = np.concatenate([group, pad]) + lo
-            p = pack_texts(
-                [texts[int(g)] for g in group], row_len=P, num_rows=R,
-                lmax=LMAX,
-            )
-            gi = np.concatenate(
-                [p.gather_idx,
-                 np.repeat(p.gather_idx[-1:], C - len(group), 0)]
-            )
-            tm = np.concatenate(
-                [p.text_mask, np.repeat(p.text_mask[-1:], C - len(group), 0)]
-            )
-            batch = dataset.make_batch([int(x) for x in idxs], aug_seed=None)
-            flat = bert_step(
-                params, jnp.asarray(p.input_ids), jnp.asarray(p.seg_ids),
-                jnp.asarray(p.pos_ids),
-            )
-            carry = quant_step(carry, params, usage, flat,
-                               jnp.asarray(gi), jnp.asarray(tm), batch)
-            n_steps += 1
+                j = take_group(lens, order, i, row_len=P, num_rows=R,
+                               max_codes=C_PER_NB[bi][-1])
+                group = order[i:j]
+                i = j
+                C = c_bucket(len(group), bi)
+                pad = np.repeat(group[-1:], C - len(group))
+                idxs = np.concatenate([group, pad]) + lo
+                p = pack_texts(
+                    [texts[int(g)] for g in group], row_len=P, num_rows=R,
+                    lmax=LMAX,
+                )
+                gi = np.concatenate(
+                    [p.gather_idx,
+                     np.repeat(p.gather_idx[-1:], C - len(group), 0)]
+                )
+                tm = np.concatenate(
+                    [p.text_mask, np.repeat(p.text_mask[-1:], C - len(group), 0)]
+                )
+                batch = dataset.make_batch(
+                    [int(x) for x in idxs], aug_seed=None,
+                    force_shapes=forced(bi),
+                )
+                flat = bert_step(
+                    params, jnp.asarray(p.input_ids), jnp.asarray(p.seg_ids),
+                    jnp.asarray(p.pos_ids),
+                )
+                carry = quant_step(carry, params, usage, flat,
+                                   jnp.asarray(gi), jnp.asarray(tm), batch)
+                n_steps += 1
+                bert_tokens += R * P
+                vq_codes += C
     checksum = float(carry)
     wall = time.perf_counter() - t0
     assert np.isfinite(checksum)
@@ -394,52 +618,68 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
         "wall_s": wall, "tokenize_s": t_tok, "checksum": checksum,
         "packed": True, "pack_rows": R, "pack_row_len": P,
         "n_steps": n_steps, "n_shards": NSHARDS,
+        "heavy_tail_codes": n_big,
+        "mfu_export": export_mfu(wall, bert_tokens, vq_codes),
     }
 
 
 def kernel_ab(jax, jnp) -> dict:
-    """Compiled (not interpret-mode) fused_topk_l2 vs XLA matmul+top_k at the
-    production codebook size; exact index equality + interleaved timing."""
+    """Compiled (not interpret-mode) fused_topk_l2 vs XLA matmul+top_k, swept
+    across (B, N) around the production codebook; exact index equality +
+    interleaved timing. Headline kernel_* fields report the production shape
+    (8192x21000); kernel_sweep carries the rest."""
     from medtok_tpu.ops.vq import squared_distance, topk_smallest
     from medtok_tpu.ops.vq_pallas import fused_topk_l2
 
     if jax.default_backend() != "tpu":
         return {"kernel_check": "skipped (no tpu)"}
 
-    B, N, D, K = 8192, 21000, 64, 5
+    D, K = 64, 5
+    HEAD = (8192, 21000)
+    out = {}
+    sweep = {}
     rng = np.random.default_rng(7)
-    z = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
-    e = jnp.asarray(rng.standard_normal((N, D)), jnp.float32)
+    for B, N in ((2048, 21000), HEAD, (8192, 84000)):
+        z = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+        e = jnp.asarray(rng.standard_normal((N, D)), jnp.float32)
 
-    @jax.jit
-    def xla_topk(z, e):
-        return topk_smallest(squared_distance(z, e), K)
+        @jax.jit
+        def xla_topk(z, e):
+            return topk_smallest(squared_distance(z, e), K)
 
-    @jax.jit
-    def pallas_topk(z, e):
-        return fused_topk_l2(z, e, k=K, tile_b=256, tile_n=2048)
+        @jax.jit
+        def pallas_topk(z, e):
+            return fused_topk_l2(z, e, k=K, tile_b=256, tile_n=2048)
 
-    _, xi = jax.tree.map(np.asarray, xla_topk(z, e))
-    _, pi = jax.tree.map(np.asarray, pallas_topk(z, e))
-    exact = bool(np.array_equal(xi, pi))
+        _, xi = jax.tree.map(np.asarray, xla_topk(z, e))
+        _, pi = jax.tree.map(np.asarray, pallas_topk(z, e))
+        exact = bool(np.array_equal(xi, pi))
 
-    times = {"xla": [], "pallas": []}
-    for trial in range(4):
-        for name, fn in (("xla", xla_topk), ("pallas", pallas_topk)):
-            t0 = time.perf_counter()
-            v, i = fn(z, e)
-            float(jnp.sum(v) + jnp.sum(i))  # force
-            if trial:  # discard trial 0 (shared-pool transients)
-                times[name].append(time.perf_counter() - t0)
-    xla_ms = 1e3 * min(times["xla"])
-    pal_ms = 1e3 * min(times["pallas"])
-    return {
-        "kernel_indices_exact": exact,
-        "kernel_xla_ms": round(xla_ms, 2),
-        "kernel_pallas_ms": round(pal_ms, 2),
-        "kernel_speedup": round(xla_ms / pal_ms, 2),
-        "kernel_shape": f"{B}x{N}x{D} k={K}",
-    }
+        times = {"xla": [], "pallas": []}
+        for trial in range(4):
+            for name, fn in (("xla", xla_topk), ("pallas", pallas_topk)):
+                t0 = time.perf_counter()
+                v, i = fn(z, e)
+                float(jnp.sum(v) + jnp.sum(i))  # force
+                if trial:  # discard trial 0 (shared-pool transients)
+                    times[name].append(time.perf_counter() - t0)
+        xla_ms = 1e3 * min(times["xla"])
+        pal_ms = 1e3 * min(times["pallas"])
+        sweep[f"{B}x{N}"] = {
+            "exact": exact, "xla_ms": round(xla_ms, 2),
+            "pallas_ms": round(pal_ms, 2),
+            "speedup": round(xla_ms / pal_ms, 2),
+        }
+        if (B, N) == HEAD:
+            out = {
+                "kernel_indices_exact": exact,
+                "kernel_xla_ms": round(xla_ms, 2),
+                "kernel_pallas_ms": round(pal_ms, 2),
+                "kernel_speedup": round(xla_ms / pal_ms, 2),
+                "kernel_shape": f"{B}x{N}x{D} k={K}",
+            }
+    out["kernel_sweep"] = sweep
+    return out
 
 
 def flash_ab(jax, jnp) -> dict:

@@ -158,6 +158,7 @@ def synthetic_vocab_frame(
     num_kg_nodes: int = 130_000,
     extra_words: int = 200,
     max_pkg_nodes: int = 16,
+    heavy_tail: bool = False,
 ):
     """all_codes_mappings.parquet-schema frame at arbitrary scale
     (med_code / desc / pkg_index_list; dataset_creator.py:179, 252-255).
@@ -165,6 +166,11 @@ def synthetic_vocab_frame(
     Descriptions draw from a medical word pool plus random letter strings
     (those WordPiece-split into subwords like real rare terms); lengths are
     lognormal with mean ~7 words, matching typical ICD/ATC descriptions.
+
+    ``heavy_tail`` adds the unbounded-subgraph tail the reference sees
+    (dataset_creator.py:250-276 puts no cap on ``pkg_index_list``): ~9% of
+    codes draw 17..128 nodes and ~3% draw 129..512, so the 128/512 node
+    buckets carry real traffic in the benchmark.
     """
     import pandas as pd
 
@@ -181,6 +187,10 @@ def synthetic_vocab_frame(
     descs = [" ".join(pool[widx[offs[i]:offs[i + 1]]]) for i in range(num_codes)]
 
     sizes = np.clip(rng.geometric(0.25, num_codes), 1, max_pkg_nodes)
+    if heavy_tail:
+        r = rng.random(num_codes)
+        sizes = np.where(r < 0.12, rng.integers(17, 129, num_codes), sizes)
+        sizes = np.where(r < 0.03, rng.integers(129, 513, num_codes), sizes)
     starts = rng.integers(0, max(num_kg_nodes - max_pkg_nodes, 1), num_codes)
     # contiguous node runs with a random stride: unique, sorted, cheap to draw
     strides = rng.integers(1, 5, num_codes)
@@ -198,13 +208,27 @@ def synthetic_vocab_frame(
 def synthetic_kg(
     rng: np.random.Generator, *, num_nodes: int = 130_000,
     num_edges: int = 4_000_000, num_relations: int = 20,
+    local_frac: float = 0.0, local_window: int = 64,
 ):
     """A PrimeKG-scale KnowledgeGraph built directly from arrays (writing an
-    8M-row kg.csv just to re-read it would dominate bench setup)."""
+    8M-row kg.csv just to re-read it would dominate bench setup).
+
+    ``local_frac`` makes that share of edges LOCAL (dst within
+    +-local_window of src). Uniform-random edges give code subgraphs that
+    are near-edgeless (E*(n/N)^2 expected induced edges); real PrimeKG
+    neighborhoods are dense, so the bench uses locality to put real edge
+    traffic through the GCN."""
     from medtok_tpu.data.kg import KnowledgeGraph
 
     src = rng.integers(0, num_nodes, num_edges)
     dst = rng.integers(0, num_nodes, num_edges)
+    if local_frac > 0:
+        off = rng.integers(-local_window, local_window + 1, num_edges)
+        dst = np.where(
+            rng.random(num_edges) < local_frac,
+            (src + off) % num_nodes,
+            dst,
+        )
     rel = rng.integers(0, num_relations, num_edges).astype(np.int32)
     vocab = {f"rel_{i}": i for i in range(num_relations)}
     return KnowledgeGraph(src, dst, rel, vocab, num_nodes)
