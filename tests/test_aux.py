@@ -158,3 +158,39 @@ def test_profiler_trace_writes_files(tmp_path):
             float(f(jnp.ones(128)))
     files = list(tmp_path.rglob("*"))
     assert any(p.is_file() for p in files), "no trace artifacts written"
+
+
+def test_cli_train_rejects_packed_with_text_dropout():
+    """--packed-text on + --text-dropout-in-train must fail at config build
+    with a clear message (dropout noise leaks across packed segments), and
+    auto must resolve packed off when the dropout flag is set."""
+    import pytest
+
+    from medtok_tpu.cli.train import build_parser, config_from_args
+
+    base = [
+        "--kg-path", "x", "--med-codes-pkg-map-path", "y", "--text-vocab", "z",
+    ]
+    args = build_parser().parse_args(
+        base + ["--packed-text", "on", "--text-dropout-in-train"]
+    )
+    with pytest.raises(SystemExit, match="incompatible"):
+        config_from_args(args)
+
+    args = build_parser().parse_args(base + ["--text-dropout-in-train"])
+    cfg = config_from_args(args)
+    assert cfg.train.packed_text is False
+    assert cfg.model.text_dropout_in_train is True
+
+    cfg = config_from_args(build_parser().parse_args(base))
+    assert cfg.train.packed_text is True
+
+
+def test_export_fallback_bucket_mesh_divisible():
+    """A tiny vocab's fallback code bucket must be divisible by the mesh
+    device count (dp-sharded quant_step layout)."""
+    # mirror of export._export_all_packed's fallback arithmetic
+    for n, q in ((10, 8), (40, 8), (3, 4)):
+        bucket = min(-(-max(n, 8) // q) * q, 4096)
+        assert bucket % q == 0
+        assert bucket >= min(n, 4096)

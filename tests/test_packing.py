@@ -139,3 +139,16 @@ def test_take_group_partitions_all_codes():
         seen.extend(group.tolist())
         i = j
     assert sorted(seen) == list(range(1000))
+
+
+def test_pack_code_batch_rejects_nondivisible_shards():
+    """B % shards != 0 must raise (ValueError, not a strippable assert) —
+    silent dropping of trailing codes would corrupt the packed batch."""
+    import pytest
+
+    from medtok_tpu.data.packing import pack_code_batch
+
+    ids = np.ones((6, 4), np.int32)
+    am = np.ones((6, 4), np.int32)
+    with pytest.raises(ValueError, match="divisible"):
+        pack_code_batch(ids, am, shards=4, rows_per_shard=2, row_len=8)
