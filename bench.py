@@ -482,8 +482,8 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
     # batch (they are rare; huge C x 512-node programs would waste padding)
     C_PER_NB = {
         0: (512, 768, 1024, 1536, 2048, 3072, 4096),
-        1: (256, 512, 1024),
-        2: (64, 128, 256),
+        1: (256, 1024),   # rare buckets: coarse C grid — every extra
+        2: (128,),        # (C, Ln) pair is another remote-tunnel compile
     }
     C_BUCKETS = C_PER_NB[0]
 
@@ -534,10 +534,17 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
     )
     dummy_pos = jnp.asarray(np.tile(np.arange(16), R * P // 16).reshape(R, P),
                             jnp.int32)
+    import sys
+
+    def note(msg):
+        print(msg, file=sys.stderr, flush=True)   # stdout carries ONE json line
+
+    note("bench: compiling bert_step")
     flat0 = bert_step(params, dummy_ids, dummy_seg, dummy_pos)
     flat0.block_until_ready()
     for bi in range(len(NB)):
         for C in C_PER_NB[bi]:
+            note(f"bench: compiling quant_step C={C} nb={NB[bi]}")
             idxs = list(range(min(C, len(dataset))))
             idxs = (idxs * (C // len(idxs) + 1))[:C]
             b = dataset.make_batch(idxs, aug_seed=None, force_shapes=forced(bi))
@@ -557,6 +564,7 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
     bert_tokens = 0
     vq_codes = 0
     for s in range(NSHARDS):
+        note(f"bench: shard {s}")
         lo, hi = int(bounds[s]), int(bounds[s + 1])
         tt = time.perf_counter()
         dataset.tokenize_rows(range(lo, hi))

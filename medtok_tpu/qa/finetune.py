@@ -2,8 +2,10 @@
 
 Equivalent of MedTok_fintune_llama3.py:43-262: LoRA (r=16, alpha=32,
 q_proj/v_proj) + the soft-prompt projector are the ONLY trainable params;
-the base LLM is frozen (optax.masked). Data: JSON rows
-{"input": [q, a], "medical_codes": [...]} packed by qa.prompting.
+the base LLM is frozen — the step differentiates w.r.t. the trainable
+subtree alone (partition_params), so no grad/optimizer buffers exist for
+the base. Data: JSON rows {"input": [q, a], "medical_codes": [...]} packed
+by qa.prompting.
 """
 
 from __future__ import annotations
