@@ -222,7 +222,12 @@ def build_composed_oracle(cfg, *, seed: int = 0, root: Path | str = REFERENCE_RO
 
             def rec_topk(*a, **k):
                 out = orig_topk(*a, **k)
-                calls.append((out.indices.clone(), out.values.clone()))
+                # (indices, values, full distance rows) — the distances feed
+                # mismatch triage (boundary-gap analysis) in the parity sweep
+                calls.append(
+                    (out.indices.clone(), out.values.clone(),
+                     a[0].detach().clone())
+                )
                 return out
 
             torch.topk = rec_topk
@@ -236,7 +241,11 @@ def build_composed_oracle(cfg, *, seed: int = 0, root: Path | str = REFERENCE_RO
             # topk call order inside VectorQuantizer.forward: shared_text,
             # shared_graph (get_shared_info :157-160), then text-specific,
             # graph-specific (specific_embedding :207-208)
-            (st_i, st_v), (sg_i, sg_v), (tx_i, tx_v), (gr_i, gr_v) = calls
+            (st_i, st_v, st_d), (sg_i, sg_v, sg_d), (tx_i, tx_v, tx_d), \
+                (gr_i, gr_v, gr_d) = calls
+            # stashed in eval-path order [text, graph, shared_text,
+            # shared_graph] for the sweep's mismatch triage
+            self.last_distances = (tx_d, gr_d, st_d, sg_d)
             sm = lambda v: torch.softmax(-v, dim=1)
             # eval concat order: tokenizer.py:240-247
             tokens = torch.stack([tx_i, gr_i, st_i, sg_i], dim=1)

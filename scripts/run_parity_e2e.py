@@ -86,6 +86,11 @@ def run_sweep(
     n_batches = (codes + batch - 1) // batch
     mismatch = {p: 0 for p in PATH_NAMES}
     emb_max_err = 0.0
+    emb_max_err_matched = 0.0
+    max_boundary_gap = 0.0
+    nontie_mismatches = 0
+    NONTIE_GAP = 1e-5
+    k = cfg.quantizer.top_k
     t0 = time.perf_counter()
     for bi in range(n_batches):
         cb = random_code_batch(
@@ -99,13 +104,24 @@ def run_sweep(
         t_tok = t_tok.numpy()
         # tokens stack order matches tokenizer.py:240-247 on both sides:
         # [text_specific, graph_specific, shared_text, shared_graph]
+        all_match = np.ones((batch,), bool)
         for pi, p in enumerate(PATH_NAMES):
-            mismatch[p] += int(
-                np.any(t_tok[:, pi] != f_tok[:, pi], axis=-1).sum()
+            rows = np.any(t_tok[:, pi] != f_tok[:, pi], axis=-1)
+            mismatch[p] += int(rows.sum())
+            all_match &= ~rows
+            d_path = oracle.last_distances[pi].numpy()
+            for r in np.where(rows)[0]:
+                d = d_path[r]
+                gap = float(max(d[f_tok[r, pi]].max() - np.sort(d)[k - 1], 0.0))
+                max_boundary_gap = max(max_boundary_gap, gap)
+                if gap > NONTIE_GAP:
+                    nontie_mismatches += 1
+        err = np.abs(t_emb.numpy() - np.asarray(f_out.embedding)).max(axis=-1)
+        emb_max_err = max(emb_max_err, float(err.max()))
+        if all_match.any():
+            emb_max_err_matched = max(
+                emb_max_err_matched, float(err[all_match].max())
             )
-        emb_max_err = max(emb_max_err, float(np.max(np.abs(
-            t_emb.numpy() - np.asarray(f_out.embedding)
-        ))))
         if (bi + 1) % 50 == 0:
             done = (bi + 1) * batch
             rate = done / (time.perf_counter() - t0)
@@ -126,6 +142,13 @@ def run_sweep(
         },
         "token_exact_match": all(v == 0 for v in mismatch.values()),
         "embedding_max_abs_err": emb_max_err,
+        "embedding_max_abs_err_matched_rows": emb_max_err_matched,
+        # torch-side d(flax pick) - d(torch 5th) for any mismatched row:
+        # fp32-ulp-scale gaps = numerically tied 5th/6th codewords (BLAS vs
+        # XLA summation order), not algorithmic divergence
+        "mismatch_max_boundary_gap": max_boundary_gap,
+        "mismatches_beyond_tie_gap": nontie_mismatches,
+        "tie_gap_threshold": NONTIE_GAP,
         "wall_s": round(time.perf_counter() - t0, 1),
     }
 
