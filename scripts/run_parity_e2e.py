@@ -85,6 +85,7 @@ def run_sweep(
     rng = np.random.default_rng(seed)
     n_batches = (codes + batch - 1) // batch
     mismatch = {p: 0 for p in PATH_NAMES}
+    set_mismatch = {p: 0 for p in PATH_NAMES}   # ignoring intra-top-k order
     emb_max_err = 0.0
     emb_max_err_matched = 0.0
     max_boundary_gap = 0.0
@@ -108,6 +109,10 @@ def run_sweep(
         for pi, p in enumerate(PATH_NAMES):
             rows = np.any(t_tok[:, pi] != f_tok[:, pi], axis=-1)
             mismatch[p] += int(rows.sum())
+            set_mismatch[p] += int(np.any(
+                np.sort(t_tok[:, pi], axis=-1) != np.sort(f_tok[:, pi], axis=-1),
+                axis=-1,
+            ).sum())
             all_match &= ~rows
             d_path = oracle.last_distances[pi].numpy()
             for r in np.where(rows)[0]:
@@ -141,6 +146,13 @@ def run_sweep(
             for p in PATH_NAMES
         },
         "token_exact_match": all(v == 0 for v in mismatch.values()),
+        # same ids, different intra-top-k ORDER (exactly tied distances
+        # softmax to equal weights -> identical embeddings) are counted in
+        # mismatched_codes but not here
+        "token_id_set_parity": {
+            p: {"set_mismatched_codes": int(v)} for p, v in set_mismatch.items()
+        },
+        "token_set_match": all(v == 0 for v in set_mismatch.values()),
         "embedding_max_abs_err": emb_max_err,
         "embedding_max_abs_err_matched_rows": emb_max_err_matched,
         # torch-side d(flax pick) - d(torch 5th) for any mismatched row:

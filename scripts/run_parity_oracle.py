@@ -71,6 +71,7 @@ def main() -> None:
     rng = np.random.default_rng(0)
     n_batches = (args.samples + B - 1) // B
     mismatch = {p: 0 for p in PATHS}
+    set_mismatch = {p: 0 for p in PATHS}   # ignoring intra-top-k order
     emb_max_err = 0.0
     emb_max_err_matched = 0.0   # rows where all 4 paths' token ids matched
     max_boundary_gap = 0.0      # torch-side d(flax pick) - d(torch 5th)
@@ -135,6 +136,10 @@ def main() -> None:
         for p in PATHS:
             rows = np.any(t_idx[p] != f_idx[p], axis=-1)
             mismatch[p] += int(rows.sum())
+            set_mismatch[p] += int(np.any(
+                np.sort(t_idx[p], axis=-1) != np.sort(f_idx[p], axis=-1),
+                axis=-1,
+            ).sum())
             all_match &= ~rows
             for r in np.where(rows)[0]:
                 d = t_dist[p][r]
@@ -166,6 +171,13 @@ def main() -> None:
             for p in PATHS
         },
         "token_exact_match": all(v == 0 for v in mismatch.values()),
+        # same ids, different intra-top-k ORDER (exactly tied distances
+        # softmax to equal weights -> identical embeddings) are counted in
+        # mismatched_codes but not here
+        "token_id_set_parity": {
+            p: {"set_mismatched_codes": int(v)} for p, v in set_mismatch.items()
+        },
+        "token_set_match": all(v == 0 for v in set_mismatch.values()),
         "embedding_max_abs_err": emb_max_err,
         "embedding_max_abs_err_matched_rows": emb_max_err_matched,
         # triage of any mismatched rows: torch-side distance gap between the
