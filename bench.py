@@ -485,6 +485,10 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
         1: (256, 1024),   # rare buckets: coarse C grid — every extra
         2: (128,),        # (C, Ln) pair is another remote-tunnel compile
     }
+    # per-bucket BERT row budgets: a <=128-code group must not pay a full
+    # [256, 128] bert_step (>90% empty rows — measured 4x step blowup on the
+    # heavy tail); each distinct R is one extra compiled text-encoder shape
+    R_PER_NB = {0: R, 1: max(R // 4, 2), 2: max(R // 16, 2)}
     C_BUCKETS = C_PER_NB[0]
 
     @jax.jit
@@ -539,10 +543,15 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
     def note(msg):
         print(msg, file=sys.stderr, flush=True)   # stdout carries ONE json line
 
-    note("bench: compiling bert_step")
-    flat0 = bert_step(params, dummy_ids, dummy_seg, dummy_pos)
-    flat0.block_until_ready()
+    flats = {}
     for bi in range(len(NB)):
+        Rb = R_PER_NB[bi]
+        if Rb not in flats:
+            note(f"bench: compiling bert_step R={Rb}")
+            flats[Rb] = bert_step(
+                params, dummy_ids[:Rb], dummy_seg[:Rb], dummy_pos[:Rb]
+            )
+            flats[Rb].block_until_ready()
         for C in C_PER_NB[bi]:
             note(f"bench: compiling quant_step C={C} nb={NB[bi]}")
             idxs = list(range(min(C, len(dataset))))
@@ -550,7 +559,7 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
             b = dataset.make_batch(idxs, aug_seed=None, force_shapes=forced(bi))
             gi = jnp.zeros((C, LMAX), jnp.int32)
             tm = jnp.zeros((C, LMAX), bool).at[:, 0].set(True)
-            float(quant_step(jnp.zeros(()), params, usage, flat0, gi, tm, b))
+            float(quant_step(jnp.zeros(()), params, usage, flats[Rb], gi, tm, b))
 
     # ---- TIMED ----
     NSHARDS = int(os.environ.get("MEDTOK_BENCH_SHARDS", 8))
@@ -588,7 +597,8 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
             while i < len(order):
                 from medtok_tpu.data.packing import take_group
 
-                j = take_group(lens, order, i, row_len=P, num_rows=R,
+                Rb = R_PER_NB[bi]
+                j = take_group(lens, order, i, row_len=P, num_rows=Rb,
                                max_codes=C_PER_NB[bi][-1])
                 group = order[i:j]
                 i = j
@@ -596,7 +606,7 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
                 pad = np.repeat(group[-1:], C - len(group))
                 idxs = np.concatenate([group, pad]) + lo
                 p = pack_texts(
-                    [texts[int(g)] for g in group], row_len=P, num_rows=R,
+                    [texts[int(g)] for g in group], row_len=P, num_rows=Rb,
                     lmax=LMAX,
                 )
                 gi = np.concatenate(
@@ -617,7 +627,7 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
                 carry = quant_step(carry, params, usage, flat,
                                    jnp.asarray(gi), jnp.asarray(tm), batch)
                 n_steps += 1
-                bert_tokens += R * P
+                bert_tokens += Rb * P
                 vq_codes += C
     checksum = float(carry)
     wall = time.perf_counter() - t0
@@ -711,14 +721,20 @@ def flash_ab(jax, jnp) -> dict:
 
     dense = jax.jit(lambda q, k, v: reference_attention(q, k, v, mask))
     flash = jax.jit(lambda q, k, v: flash_attention(q, k, v, mask))
+    flash_d = jax.jit(
+        lambda q, k, v: flash_attention(q, k, v, mask, precision="default")
+    )
 
     a = np.asarray(dense(q, k, v))
     b = np.asarray(flash(q, k, v))
     close = bool(np.allclose(a, b, rtol=2e-4, atol=2e-4))
+    bd = np.asarray(flash_d(q, k, v))
+    derr = float(np.abs(a - bd).max())
 
-    times = {"dense": [], "flash": []}
+    times = {"dense": [], "flash": [], "flash_def": []}
     for trial in range(4):
-        for name, fn in (("dense", dense), ("flash", flash)):
+        for name, fn in (("dense", dense), ("flash", flash),
+                         ("flash_def", flash_d)):
             t0 = time.perf_counter()
             float(jnp.sum(fn(q, k, v)))  # force
             if trial:
@@ -730,6 +746,9 @@ def flash_ab(jax, jnp) -> dict:
         "flash_dense_ms": round(d_ms, 2),
         "flash_pallas_ms": round(f_ms, 2),
         "flash_speedup": round(d_ms / f_ms, 2),
+        # single-pass bf16 variant (EHRTrainConfig.flash_precision default)
+        "flash_default_prec_ms": round(1e3 * min(times["flash_def"]), 2),
+        "flash_default_prec_abs_err": derr,
         "flash_shape": f"{B}x{H}x{L}x{Dh}",
     }
 

@@ -68,6 +68,7 @@ class TransformerEncoderLayer(nn.Module):
     dim_feedforward: int
     dropout: float = 0.5
     use_flash: bool = False
+    flash_precision: str = "highest"
 
     @nn.compact
     def __call__(self, x, pad_mask, *, deterministic=True):
@@ -76,6 +77,7 @@ class TransformerEncoderLayer(nn.Module):
         valid = ~pad_mask  # key mask: True = attendable
         attn = MultiheadAttention(self.d_model, self.nhead, self.dropout,
                                   use_flash=self.use_flash,
+                                  flash_precision=self.flash_precision,
                                   name="self_attn")(
             x, x, x, valid, deterministic=deterministic
         )
@@ -106,6 +108,7 @@ class EHRModel(nn.Module):
     dropout: float = 0.5
     max_year: int = 1000
     use_flash: bool = False      # Pallas flash attention in the encoder
+    flash_precision: str = "highest"
     pe_dropout: float = 0.2      # PositionalEncoding dropout
                                  # (hardcoded 0.2 in EHRModel_token.py:217)
 
@@ -127,7 +130,8 @@ class EHRModel(nn.Module):
         self.layers = [
             TransformerEncoderLayer(
                 self.input_dim, self.num_heads, self.hidden_dim, self.dropout,
-                use_flash=self.use_flash, name=f"layer_{i}",
+                use_flash=self.use_flash,
+                flash_precision=self.flash_precision, name=f"layer_{i}",
             )
             for i in range(self.num_layers)
         ]

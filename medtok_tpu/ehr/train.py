@@ -127,6 +127,11 @@ class EHRTrainConfig:
     # with long sequences, where the dense [B,H,L,L] score tensor would cost
     # ~L^2 memory — 16 GB fp32 at the reference B=256, L=2003)
     flash_attention: bool | str = "auto"
+    # attention matmul precision under flash: the training pipeline defaults
+    # to single-pass bf16 ('default', 1.58x faster at B=256/Dh=16, ~8e-3 abs
+    # — noise under dropout 0.5; the reference trains its tokenizer under
+    # fp16 AMP, train_MedTok.py:99). Set 'highest' for exact-fp32 parity.
+    flash_precision: str = "default"
     pe_dropout: float = 0.2   # PositionalEncoding rate (EHRModel_token.py:217)
 
 
@@ -157,7 +162,8 @@ class EHRTrainer:
             input_dim=cfg.input_dim, output_dim=cfg.output_dim,
             num_heads=cfg.num_heads, hidden_dim=cfg.hidden_dim,
             num_layers=cfg.num_layers, dropout=cfg.dropout,
-            use_flash=bool(use_flash), pe_dropout=cfg.pe_dropout,
+            use_flash=bool(use_flash), flash_precision=cfg.flash_precision,
+            pe_dropout=cfg.pe_dropout,
         )
         self.tx = self._make_tx(steps_per_epoch=1)
         self._train_step = self._build_train_step()

@@ -46,6 +46,9 @@ class MultiheadAttention(nn.Module):
     num_heads: int
     dropout: float = 0.0
     use_flash: bool = False
+    # 'highest' = bf16x3 exact-fp32 matmuls (parity surfaces); 'default' =
+    # single-pass bf16 MXU, 1.58x faster at the EHR shape (~8e-3 abs)
+    flash_precision: str = "highest"
 
     @nn.compact
     def __call__(self, q, k, v, key_mask=None, *, deterministic: bool = True):
@@ -80,6 +83,7 @@ class MultiheadAttention(nn.Module):
                 qh, kh, vh, key_mask,
                 dropout_rate=rate, dropout_seed=seed,
                 interpret=jax.default_backend() != "tpu",
+                precision=self.flash_precision,
             )
         else:
             logits = jnp.einsum(

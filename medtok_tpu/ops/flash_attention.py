@@ -59,6 +59,7 @@ def _flash_kernel(
     seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
     m_scratch, l_scratch, acc_scratch,
     *, sm_scale: float, dropout_rate: float, block_q: int, block_k: int,
+    precision,
 ):
     ki = pl.program_id(2)
 
@@ -73,7 +74,7 @@ def _flash_kernel(
     v = v_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST
+        precision=precision
     ) * sm_scale                     # [bq, bk]
     valid = mask_ref[0] != 0         # [1, bk] -> broadcasts
     s = jnp.where(valid, s, _MASKED)
@@ -101,7 +102,7 @@ def _flash_kernel(
     acc_scratch[:] = acc_scratch[:] * alpha[:, :1] + jax.lax.dot_general(
         p_num.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
 
     @pl.when(ki == pl.num_programs(2) - 1)
@@ -130,16 +131,16 @@ def _flash_kernel(
 
 
 def _prob_and_t(q, k, v, do, valid, lse, d_term, *, sm_scale, dropout_rate,
-                seed, bh, row0, col0, bq, bk):
+                seed, bh, row0, col0, bq, bk, precision):
     """Shared bwd tile math: (a = p/l [bq,bk], ds [bq,bk], ã [bq,bk])."""
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST
+        precision=precision
     ) * sm_scale
     a = jnp.where(valid, jnp.exp(s - lse), 0.0)          # [bq, bk]
     t = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )                                                     # dO·V^T [bq, bk]
     if dropout_rate > 0.0:
         bits = _uniform_hash(seed, bh, row0, col0, bq, bk)
@@ -158,6 +159,7 @@ def _flash_bwd_dq_kernel(
     seed_ref, q_ref, k_ref, v_ref, mask_ref, lse_ref, dd_ref, do_ref,
     dq_ref, dq_acc,
     *, sm_scale: float, dropout_rate: float, block_q: int, block_k: int,
+    precision,
 ):
     ki = pl.program_id(2)
 
@@ -171,12 +173,12 @@ def _flash_bwd_dq_kernel(
         sm_scale=sm_scale, dropout_rate=dropout_rate,
         seed=seed_ref[0], bh=pl.program_id(0),
         row0=pl.program_id(1) * block_q, col0=ki * block_k,
-        bq=block_q, bk=block_k,
+        bq=block_q, bk=block_k, precision=precision,
     )
     dq_acc[:] += sm_scale * jax.lax.dot_general(
         ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
 
     @pl.when(ki == pl.num_programs(2) - 1)
@@ -188,6 +190,7 @@ def _flash_bwd_dkv_kernel(
     seed_ref, q_ref, k_ref, v_ref, mask_ref, lse_ref, dd_ref, do_ref,
     dk_ref, dv_ref, dk_acc, dv_acc,
     *, sm_scale: float, dropout_rate: float, block_q: int, block_k: int,
+    precision,
 ):
     qi = pl.program_id(2)
 
@@ -203,18 +206,18 @@ def _flash_bwd_dkv_kernel(
         sm_scale=sm_scale, dropout_rate=dropout_rate,
         seed=seed_ref[0], bh=pl.program_id(0),
         row0=qi * block_q, col0=pl.program_id(1) * block_k,
-        bq=block_q, bk=block_k,
+        bq=block_q, bk=block_k, precision=precision,
     )
     # transpose contractions: contract over the q rows of the tile
     dv_acc[:] += jax.lax.dot_general(
         a_drop.astype(do.dtype), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
     dk_acc[:] += sm_scale * jax.lax.dot_general(
         ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
 
     @pl.when(qi == pl.num_programs(2) - 1)
@@ -223,25 +226,25 @@ def _flash_bwd_dkv_kernel(
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def _flash_core(qf, kf, vf, maskf, seed_arr, H, sm_scale, dropout_rate,
-                blocks, interpret):
+                blocks, interpret, precision):
     out, _ = _flash_core_fwd(
         qf, kf, vf, maskf, seed_arr, H, sm_scale, dropout_rate, blocks,
-        interpret,
+        interpret, precision,
     )
     return out
 
 
 def _flash_core_fwd(qf, kf, vf, maskf, seed_arr, H, sm_scale, dropout_rate,
-                    blocks, interpret):
+                    blocks, interpret, precision):
     block_q, block_k = blocks
     BH, Lqp, Dh = qf.shape
     Lkp = kf.shape[1]
     grid = (BH, Lqp // block_q, Lkp // block_k)
     kernel = functools.partial(
         _flash_kernel, sm_scale=sm_scale, dropout_rate=dropout_rate,
-        block_q=block_q, block_k=block_k,
+        block_q=block_q, block_k=block_k, precision=precision,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -277,7 +280,8 @@ def _flash_core_fwd(qf, kf, vf, maskf, seed_arr, H, sm_scale, dropout_rate,
     return out, (qf, kf, vf, maskf, seed_arr, lse, out)
 
 
-def _flash_core_bwd(H, sm_scale, dropout_rate, blocks, interpret, res, g):
+def _flash_core_bwd(H, sm_scale, dropout_rate, blocks, interpret, precision,
+                    res, g):
     qf, kf, vf, maskf, seed_arr, lse, out = res
     block_q, block_k = blocks
     BH, Lqp, Dh = qf.shape
@@ -297,6 +301,7 @@ def _flash_core_bwd(H, sm_scale, dropout_rate, blocks, interpret, res, g):
         functools.partial(
             _flash_bwd_dq_kernel, sm_scale=sm_scale,
             dropout_rate=dropout_rate, block_q=block_q, block_k=block_k,
+            precision=precision,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -319,6 +324,7 @@ def _flash_core_bwd(H, sm_scale, dropout_rate, blocks, interpret, res, g):
         functools.partial(
             _flash_bwd_dkv_kernel, sm_scale=sm_scale,
             dropout_rate=dropout_rate, block_q=block_q, block_k=block_k,
+            precision=precision,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -358,12 +364,18 @@ def flash_attention(
     block_q: int = 256,
     block_k: int = 512,
     interpret: bool = False,
+    precision: str = "highest",
 ) -> jax.Array:
     """softmax(q k^T / sqrt(Dh)) v without materializing the L^2 scores.
 
     Differentiable (custom VJP with tiled dq/dkv kernels); the dropout mask
     regenerates from the counter hash in backward, so nothing quadratic is
-    ever saved."""
+    ever saved.
+
+    ``precision``: 'highest' = bf16x3 exact-fp32 matmuls (torch-parity
+    surfaces); 'default' = single-pass bf16 MXU — measured 1.58x faster at
+    the EHR shape (B=256, Dh=16) with ~8e-3 abs output error, the right
+    trade for the dropout-bearing training path."""
     B, H, Lq, Dh = q.shape
     Lk = k.shape[2]
     if sm_scale is None:
@@ -392,9 +404,11 @@ def flash_attention(
     vf = v.reshape(B * H, Lkp, Dh)
     key_mask = key_mask[:, None, :]          # [B, 1, Lkp]
     seed_arr = jnp.reshape(jnp.asarray(dropout_seed, jnp.int32), (1,))
+    prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+            else jax.lax.Precision.DEFAULT)
     out = _flash_core(
         qf, kf, vf, key_mask, seed_arr, H, float(sm_scale),
-        float(dropout_rate), (block_q, block_k), interpret,
+        float(dropout_rate), (block_q, block_k), interpret, prec,
     )
     return out.reshape(B, H, Lqp, Dh)[:, :, :Lq, :]
 
