@@ -324,7 +324,11 @@ def ehr_train_step(jax, jnp) -> dict:
     from medtok_tpu.ehr.dataset import EHRBatch
     from medtok_tpu.ehr.train import EHRTrainConfig, EHRTrainer
 
-    B, C, V, VOCAB = 256, 2000, 100, 600_000
+    # 60K-row table: the jitted step bakes the frozen table in as a
+    # CONSTANT, and this dev tunnel rejects >~100MB program uploads
+    # (HTTP 413); per-step cost is a [B*C]-row gather — independent of
+    # table height, so the measurement is unaffected
+    B, C, V, VOCAB = 256, 2000, 100, 60_000
     rng = np.random.default_rng(13)
     table = rng.standard_normal((VOCAB, 256)).astype(np.float32)
     n_codes = rng.integers(C // 4, C, B)
@@ -386,7 +390,9 @@ def qa_finetune_step(jax, jnp) -> dict:
         max_position_embeddings=8192, remat=True,
     )
     rng = np.random.default_rng(17)
-    table = rng.standard_normal((600_000, 256)).astype(np.float32)
+    # 60K-row table (not 600K): avoids this tunnel's program-upload limit —
+    # soft-prompt cost is a 256-slot gather + mean, independent of rows
+    table = rng.standard_normal((60_000, 256)).astype(np.float32)
     qcfg = QAFinetuneConfig(lora_rank=16, cutoff_len=256, total_len=512,
                             batch_size=16)
     ft = QAFinetuner(cfg1b, table, qcfg)
@@ -404,7 +410,7 @@ def qa_finetune_step(jax, jnp) -> dict:
     batch = {
         # first cutoff_len slots: MedTok vocab ids; rest: LLM text tokens
         "input_ids": np.concatenate([
-            rng.integers(0, 600_001, (B, CL)),
+            rng.integers(0, 60_001, (B, CL)),
             rng.integers(0, cfg1b.vocab_size, (B, L - CL)),
         ], axis=1).astype(np.int32),
         "attention_mask": np.ones((B, L), np.int32),
@@ -480,15 +486,18 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
     EB = dataset.cfg.edge_buckets
     # per-node-bucket code-count buckets: big-graph groups run at smaller
     # batch (they are rare; huge C x 512-node programs would waste padding)
+    # rare buckets run at LARGE code counts: the per-step fixed cost (the
+    # [C, 21000] top-k sweeps) dominates small-C steps — measured 1.61
+    # ms/code at (C=128, Ln=512) vs 0.033 at (C=2048, Ln=16); amortizing the
+    # sweep over 512-2048 codes cuts the tail cost ~2-4x. BERT rows bound
+    # the group size (~10 tokens/code -> R=256 holds ~3000 codes), so only
+    # bucket 2 needs a reduced row budget.
     C_PER_NB = {
         0: (512, 768, 1024, 1536, 2048, 3072, 4096),
-        1: (256, 1024),   # rare buckets: coarse C grid — every extra
-        2: (128,),        # (C, Ln) pair is another remote-tunnel compile
+        1: (2048,),
+        2: (512,),
     }
-    # per-bucket BERT row budgets: a <=128-code group must not pay a full
-    # [256, 128] bert_step (>90% empty rows — measured 4x step blowup on the
-    # heavy tail); each distinct R is one extra compiled text-encoder shape
-    R_PER_NB = {0: R, 1: max(R // 4, 2), 2: max(R // 16, 2)}
+    R_PER_NB = {0: R, 1: R, 2: max(R // 4, 2)}
     C_BUCKETS = C_PER_NB[0]
 
     @jax.jit

@@ -19,7 +19,14 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from medtok_tpu.config import GraphEncoderConfig
-from medtok_tpu.models.layers import GATConv, GCNConv
+from medtok_tpu.models.layers import GATConv, GCNConv, gcn_norm_adj
+
+# At-or-above this padded node count, GCN aggregation runs as a dense
+# normalized-adjacency matmul on the MXU instead of edge-list scatters
+# (measured: the scatter path costs 1.74 ms/code at Ln=512 vs 0.031 at
+# Ln=16 — feature-row scatter-adds serialize on TPU; the adjacency build
+# scatters scalars only and both conv layers share it).
+DENSE_ADJ_MIN_NODES = 64
 
 
 class GraphEncoder(nn.Module):
@@ -43,6 +50,11 @@ class GraphEncoder(nn.Module):
         # local -> flat node indices from the static per-graph edge chunking
         E = edge_src.shape[0]
         assert E % B == 0, "edge array must be per-graph chunked"
+        adj = None
+        if c.model_name == "GCN" and Ln >= DENSE_ADJ_MIN_NODES:
+            adj = gcn_norm_adj(
+                edge_src, edge_dst, edge_weight, B, Ln, dtype=self.dtype
+            )
         graph_of_edge = jnp.arange(E, dtype=edge_src.dtype) // (E // B)
         offset = graph_of_edge * Ln
         edge_src = edge_src + offset
@@ -50,10 +62,14 @@ class GraphEncoder(nn.Module):
 
         hidden: list[jax.Array] = []
         if c.model_name == "GCN":
-            x = GCNConv(c.hidden_channels, name="conv1")(x, edge_src, edge_dst, edge_weight)
+            x = GCNConv(c.hidden_channels, name="conv1")(
+                x, edge_src, edge_dst, edge_weight, adj=adj
+            )
             hidden.append(x)
             x = nn.relu(x)
-            x = GCNConv(c.out_channels, name="conv2")(x, edge_src, edge_dst, edge_weight)
+            x = GCNConv(c.out_channels, name="conv2")(
+                x, edge_src, edge_dst, edge_weight, adj=adj
+            )
             hidden.append(x)
         elif c.model_name == "GAT":
             x = GATConv(c.hidden_channels, num_heads=c.gat_num_heads, name="conv1")(

@@ -174,15 +174,61 @@ def gcn_propagate(
     return out
 
 
+def gcn_norm_adj(
+    edge_src: jax.Array,     # [E] within-graph local node indices
+    edge_dst: jax.Array,     # [E]
+    edge_weight: jax.Array,  # [E]
+    batch: int,
+    num_nodes: int,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Dense normalized adjacency [B, Ln, Ln]: A[b, i, j] = coefficient of
+    node j's message into node i (symmetric normalization + self-loops —
+    exactly gcn_propagate's math, materialized once per GraphEncoder call).
+
+    For large node buckets the edge-list scatter path is the bottleneck
+    (measured 1.74 ms/code at Ln=512 vs 0.031 at Ln=16): scatter-adds of
+    D-wide feature rows serialize on TPU. Building A scatters only SCALAR
+    coefficients (D x less scatter traffic), and both conv layers then
+    aggregate via batched matmuls on the MXU.
+    """
+    E = edge_src.shape[0]
+    assert E % batch == 0, "edge array must be per-graph chunked"
+    epg = E // batch
+    g = jnp.arange(E, dtype=edge_src.dtype) // epg
+    w = edge_weight.astype(jnp.float32)
+    flat_dst = g * num_nodes + edge_dst
+    deg = jnp.ones((batch * num_nodes,), jnp.float32).at[flat_dst].add(w)
+    dinv = jax.lax.rsqrt(deg)
+    coef = dinv[g * num_nodes + edge_src] * dinv[flat_dst] * w
+    adj = jnp.zeros((batch, num_nodes, num_nodes), jnp.float32)
+    adj = adj.at[g, edge_dst, edge_src].add(coef)
+    loop = (dinv * dinv).reshape(batch, num_nodes)
+    ii = jnp.arange(num_nodes)
+    adj = adj.at[:, ii, ii].add(loop)
+    return adj.astype(dtype)
+
+
 class GCNConv(nn.Module):
-    """torch_geometric.nn.GCNConv parity: out = propagate(x @ W) + b."""
+    """torch_geometric.nn.GCNConv parity: out = propagate(x @ W) + b.
+
+    ``adj`` (optional [B, Ln, Ln] from gcn_norm_adj, with x viewable as
+    [B, Ln, D]) switches aggregation to a batched MXU matmul — numerically
+    the same sum with matmul reduction order instead of scatter order."""
 
     out_channels: int
 
     @nn.compact
-    def __call__(self, x, edge_src, edge_dst, edge_weight):
+    def __call__(self, x, edge_src, edge_dst, edge_weight, adj=None):
         xw = nn.Dense(self.out_channels, use_bias=False, dtype=x.dtype, name="lin")(x)
-        out = gcn_propagate(xw, edge_src, edge_dst, edge_weight)
+        if adj is not None:
+            B, Ln, _ = adj.shape
+            out = jnp.einsum(
+                "bij,bjd->bid", adj.astype(x.dtype),
+                xw.reshape(B, Ln, self.out_channels),
+            ).reshape(B * Ln, self.out_channels)
+        else:
+            out = gcn_propagate(xw, edge_src, edge_dst, edge_weight)
         bias = self.param("bias", nn.initializers.zeros, (self.out_channels,))
         return out + bias.astype(x.dtype)
 

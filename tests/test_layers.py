@@ -199,3 +199,29 @@ def test_gat_graph_encoder_forward():
     hidden = enc.apply(params, node_ids, src, dst, w)
     assert hidden[-1].shape == (2, 6, 4)  # heads=1 on the output layer
     assert np.isfinite(np.asarray(hidden[-1])).all()
+
+
+def test_gcn_dense_adjacency_matches_edge_path():
+    """gcn_norm_adj + matmul aggregation == edge-list scatter aggregation
+    (the large-node-bucket fast path, models/graph_encoder.py); same math,
+    matmul reduction order."""
+    from medtok_tpu.models.layers import GCNConv, gcn_norm_adj
+
+    rng = np.random.default_rng(3)
+    B, Ln, E, D = 3, 8, 12, 5
+    x = jnp.asarray(rng.standard_normal((B * Ln, D)), jnp.float32)
+    src_l = rng.integers(0, Ln, B * E).astype(np.int32)
+    dst_l = rng.integers(0, Ln, B * E).astype(np.int32)
+    w = (rng.random(B * E) > 0.3).astype(np.float32)
+    g = np.arange(B * E) // E
+    src_f = jnp.asarray(src_l + g * Ln)
+    dst_f = jnp.asarray(dst_l + g * Ln)
+
+    m = GCNConv(4)
+    params = m.init(jax.random.PRNGKey(0), x, src_f, dst_f, jnp.asarray(w))
+    ref = m.apply(params, x, src_f, dst_f, jnp.asarray(w))
+    adj = gcn_norm_adj(jnp.asarray(src_l), jnp.asarray(dst_l),
+                       jnp.asarray(w), B, Ln)
+    got = m.apply(params, x, src_f, dst_f, jnp.asarray(w), adj=adj)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
