@@ -79,12 +79,20 @@ class MultiheadAttention(nn.Module):
                 )
             else:
                 seed = 0
+            io_dtype = qh.dtype
+            if self.flash_precision == "default" and io_dtype == jnp.float32:
+                # bf16 q/k/v IO: at small Dh the [B, H, L, Dh] tensors pad
+                # 8x in HBM (Dh=16 vs the 128-lane tile) and the custom-VJP
+                # residuals of 4 encoder layers OOM a 16 GB chip in fp32
+                # at the reference EHR batch 256; bf16 halves that, and
+                # 'default' precision is bf16-grade arithmetic anyway
+                qh, kh, vh = (t.astype(jnp.bfloat16) for t in (qh, kh, vh))
             out = flash_attention(
                 qh, kh, vh, key_mask,
                 dropout_rate=rate, dropout_seed=seed,
                 interpret=jax.default_backend() != "tpu",
                 precision=self.flash_precision,
-            )
+            ).astype(io_dtype)
         else:
             logits = jnp.einsum(
                 "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32

@@ -277,12 +277,23 @@ def _flash_core_fwd(qf, kf, vf, maskf, seed_arr, H, sm_scale, dropout_rate,
         ),
         interpret=interpret,
     )(seed_arr, qf, kf, vf, maskf)
-    return out, (qf, kf, vf, maskf, seed_arr, lse, out)
+    # Residuals are saved TRANSPOSED, [BH, Dh, Lp]: with small head dims the
+    # native [BH, Lp, Dh] layout pads the 128-lane tile 8x (Dh=16) — at the
+    # EHR shape (B=256, 4 layers) that is the difference between ~1 GB and
+    # ~8 GB of saved activations. The bwd pass transposes back per use.
+    return out, (
+        qf.swapaxes(1, 2), kf.swapaxes(1, 2), vf.swapaxes(1, 2),
+        maskf, seed_arr, lse, out.swapaxes(1, 2),
+    )
 
 
 def _flash_core_bwd(H, sm_scale, dropout_rate, blocks, interpret, precision,
                     res, g):
-    qf, kf, vf, maskf, seed_arr, lse, out = res
+    qfT, kfT, vfT, maskf, seed_arr, lse, outT = res
+    qf, kf, vf, out = (
+        qfT.swapaxes(1, 2), kfT.swapaxes(1, 2), vfT.swapaxes(1, 2),
+        outT.swapaxes(1, 2),
+    )
     block_q, block_k = blocks
     BH, Lqp, Dh = qf.shape
     Lkp = kf.shape[1]
