@@ -26,7 +26,7 @@ def _build() -> Path:
         return _LIB_PATH
     subprocess.run(
         ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-         str(src), "-o", str(_LIB_PATH)],
+         "-pthread", str(src), "-o", str(_LIB_PATH)],
         check=True, capture_output=True,
     )
     return _LIB_PATH
@@ -124,15 +124,22 @@ class NativeGraph:
         )
         node_data = np.ascontiguousarray(node_data)
 
-        node_ids = np.zeros(B * ln, np.int32)
-        node_mask = np.zeros(B * ln, np.uint8)
+        node_ids = np.empty(B * ln, np.int32)
+        node_mask = np.empty(B * ln, np.uint8)
         e = B * epg
-        edge_src = np.zeros(e, np.int32)
-        edge_dst = np.zeros(e, np.int32)
-        edge_weight = np.zeros(e, np.float32)
-        edge_src_aug = np.zeros(e, np.int32)
-        edge_dst_aug = np.zeros(e, np.int32)
-        edge_weight_aug = np.zeros(e, np.float32)
+        edge_src = np.empty(e, np.int32)
+        edge_dst = np.empty(e, np.int32)
+        edge_weight = np.empty(e, np.float32)
+        # With dropout off the augmented copy is bit-identical to the main
+        # arrays, so alias them — the C side detects aliased pointers and
+        # skips the aug pass (half the output traffic on the eval/export path).
+        if dropout_p > 0.0:
+            edge_src_aug = np.empty(e, np.int32)
+            edge_dst_aug = np.empty(e, np.int32)
+            edge_weight_aug = np.empty(e, np.float32)
+        else:
+            edge_src_aug, edge_dst_aug, edge_weight_aug = (
+                edge_src, edge_dst, edge_weight)
 
         truncated = self._lib.medtok_graph_pack_batch(
             self._handle, _ptr(node_data, ctypes.c_int64),

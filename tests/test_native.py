@@ -71,6 +71,39 @@ def test_native_pack_batch_dropout_deterministic(graphs):
     assert a["edge_weight_aug"].sum() <= a["edge_weight"].sum()
 
 
+def test_native_pack_batch_threaded_matches_serial(graphs, monkeypatch):
+    """The threaded pack path (forced via MEDTOK_PACK_THREADS) writes byte-
+    identical output to the serial path, including the dropout-aug arrays
+    (per-graph RNG streams are thread-count invariant)."""
+    kg, ng = graphs
+    rng = np.random.default_rng(9)
+    lists = [np.sort(rng.choice(kg.num_nodes, size=int(rng.integers(1, 14)),
+                                replace=False)) for _ in range(256)]
+    monkeypatch.setenv("MEDTOK_PACK_THREADS", "1")
+    serial = ng.pack_batch(lists, ln=16, epg=32, dropout_p=0.3, seed=11)
+    monkeypatch.setenv("MEDTOK_PACK_THREADS", "4")
+    threaded = ng.pack_batch(lists, ln=16, epg=32, dropout_p=0.3, seed=11)
+    for k in serial:
+        np.testing.assert_array_equal(np.asarray(serial[k]),
+                                      np.asarray(threaded[k]), err_msg=k)
+
+
+def test_native_pack_batch_aliases_aug_when_no_dropout(graphs):
+    """dropout_p=0 returns the SAME buffers for aug (the C side skips the aug
+    pass on aliased pointers) — the eval/export contract aug == clean holds
+    by construction."""
+    kg, ng = graphs
+    rng = np.random.default_rng(10)
+    lists = [np.sort(rng.choice(kg.num_nodes, size=8, replace=False))
+             for _ in range(4)]
+    out = ng.pack_batch(lists, ln=16, epg=32, dropout_p=0.0, seed=0)
+    assert out["edge_src_aug"] is out["edge_src"]
+    assert out["edge_weight_aug"] is out["edge_weight"]
+    # and a dropout_p>0 call still produces independent aug buffers
+    out2 = ng.pack_batch(lists, ln=16, epg=32, dropout_p=0.5, seed=3)
+    assert out2["edge_src_aug"] is not out2["edge_src"]
+
+
 def test_make_batch_native_matches_numpy_fallback(tmp_path):
     """dataset.make_batch must produce identical batches with and without the
     native fast path (eval path, no augmentation)."""
