@@ -196,24 +196,52 @@ def gcn_norm_adj(
 
     For large node buckets the edge-list scatter path is the bottleneck
     (measured 1.74 ms/code at Ln=512 vs 0.031 at Ln=16): scatter-adds of
-    D-wide feature rows serialize on TPU. Building A scatters only SCALAR
-    coefficients (D x less scatter traffic), and both conv layers then
-    aggregate via batched matmuls on the MXU.
+    D-wide feature rows serialize on TPU — and so does a scalar-coefficient
+    scatter (181 ms of a 194 ms Ln=512 tail step, scripts/profile_tail.py).
+
+    Scatter-free build: the symmetric-normalized coefficient
+    ``dinv[dst]*dinv[src]*w`` is RANK-ONE over the edge's endpoints, so
+
+        A = dinv ⊗ dinv ⊙ Count + diag(dinv²),
+        Count[b, i, j] = Σ_e w_e·1[dst_e=i]·1[src_e=j],
+        deg = 1 + Count.sum(src axis)
+
+    and Count is a batched one-hot matmul: 0/1 one-hots are EXACT in bf16
+    and accumulation runs in fp32 on the MXU, so for the pipeline's binary
+    edge weights (C++ packer writes 1.0 valid / 0.0 padding) the result is
+    fp32-exact — no scatter anywhere. Chunked over the edge axis to bound
+    the materialized one-hots. Non-binary weights round to bf16 in the
+    masked one-hot (nothing in this framework produces them).
     """
     E = edge_src.shape[0]
     assert E % batch == 0, "edge array must be per-graph chunked"
     epg = E // batch
-    g = jnp.arange(E, dtype=edge_src.dtype) // epg
-    w = edge_weight.astype(jnp.float32)
-    flat_dst = g * num_nodes + edge_dst
-    deg = jnp.ones((batch * num_nodes,), jnp.float32).at[flat_dst].add(w)
+    src = edge_src.reshape(batch, epg)
+    dst = edge_dst.reshape(batch, epg)
+    w = edge_weight.reshape(batch, epg)
+    iota = jnp.arange(num_nodes, dtype=edge_src.dtype)
+
+    # chunk so each materialized one-hot stays under ~1 GiB of bf16 (fewer
+    # chunks = fewer fp32 accumulator round-trips, the dominant traffic)
+    cap = (1 << 30) // max(batch * num_nodes * 2, 1)
+    chunk = max(min(epg, cap), 1)
+    while epg % chunk:
+        chunk -= 1
+
+    count = jnp.zeros((batch, num_nodes, num_nodes), jnp.float32)
+    for c0 in range(0, epg, chunk):
+        s_oh = (src[:, c0:c0 + chunk, None] == iota).astype(jnp.bfloat16)
+        d_oh = (dst[:, c0:c0 + chunk, None] == iota).astype(jnp.bfloat16)
+        d_oh = d_oh * w[:, c0:c0 + chunk, None].astype(jnp.bfloat16)
+        count = count + jnp.einsum(
+            "bei,bej->bij", d_oh, s_oh, preferred_element_type=jnp.float32
+        )
+    deg = 1.0 + count.sum(axis=2)
     dinv = jax.lax.rsqrt(deg)
-    coef = dinv[g * num_nodes + edge_src] * dinv[flat_dst] * w
-    adj = jnp.zeros((batch, num_nodes, num_nodes), jnp.float32)
-    adj = adj.at[g, edge_dst, edge_src].add(coef)
-    loop = (dinv * dinv).reshape(batch, num_nodes)
-    ii = jnp.arange(num_nodes)
-    adj = adj.at[:, ii, ii].add(loop)
+    adj = dinv[:, :, None] * dinv[:, None, :] * count
+    # self-loops: elementwise eye mask (a diagonal scatter would serialize)
+    eye = (iota[:, None] == iota[None, :]).astype(jnp.float32)
+    adj = adj + eye[None] * (dinv * dinv)[:, :, None]
     return adj.astype(dtype)
 
 
