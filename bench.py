@@ -512,11 +512,13 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
         )
 
     @jax.jit
-    def quant_step(carry, params, usage, flat, gidx, tmask, batch):
+    def quant_step(carry, params, usage, flat, gidx, tmask, cb):
+        from medtok_tpu.data.compact import unpack_compact
         from medtok_tpu.models.tokenizer_model import MultimodalTokenizer
 
         out = model.apply(
-            {"params": params, "usage": usage}, flat, gidx, tmask, batch,
+            {"params": params, "usage": usage}, flat, gidx, tmask,
+            unpack_compact(cb),
             method=MultimodalTokenizer.tokenize_from_hidden,
         )
         return (
@@ -565,10 +567,14 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
             note(f"bench: compiling quant_step C={C} nb={NB[bi]}")
             idxs = list(range(min(C, len(dataset))))
             idxs = (idxs * (C // len(idxs) + 1))[:C]
-            b = dataset.make_batch(idxs, aug_seed=None, force_shapes=forced(bi))
+            b, fence = dataset.make_batch_compact(
+                idxs, aug_seed=None, force_shapes=forced(bi)
+            )
             gi = jnp.zeros((C, LMAX), jnp.int32)
             tm = jnp.zeros((C, LMAX), bool).at[:, 0].set(True)
-            float(quant_step(jnp.zeros(()), params, usage, flats[Rb], gi, tm, b))
+            c = quant_step(jnp.zeros(()), params, usage, flats[Rb], gi, tm, b)
+            fence.set_fence(c)
+            float(c)
 
     # ---- TIMED ----
     NSHARDS = int(os.environ.get("MEDTOK_BENCH_SHARDS", 8))
@@ -625,7 +631,7 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
                 tm = np.concatenate(
                     [p.text_mask, np.repeat(p.text_mask[-1:], C - len(group), 0)]
                 )
-                batch = dataset.make_batch(
+                batch, fence = dataset.make_batch_compact(
                     [int(x) for x in idxs], aug_seed=None,
                     force_shapes=forced(bi),
                 )
@@ -635,6 +641,7 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
                 )
                 carry = quant_step(carry, params, usage, flat,
                                    jnp.asarray(gi), jnp.asarray(tm), batch)
+                fence.set_fence(carry)
                 n_steps += 1
                 bert_tokens += Rb * P
                 vq_codes += C

@@ -261,4 +261,90 @@ int64_t medtok_graph_pack_batch(
   return truncated;
 }
 
+// Compact pack: same extraction as medtok_graph_pack_batch, but edges are
+// emitted as ONE int32 per edge — (src << 16) | dst (requires ln <= 32768 so
+// the sign bit stays clear) — plus per-graph edge counts ne[B] instead of a
+// float weight array (edges are front-packed; consumers rebuild the padding
+// mask as iota < ne on device). Relative to the classic layout this is 3x
+// less output memory traffic and 3x fewer bytes to ship host->device, which
+// is what the heavy-tail export step is bound by (B=512 x epg=8192 classic
+// edge arrays are ~100 MB with the augmented copies; compact is 16.8 MB).
+// When the aug pointers ALIAS the main pointers the aug pass is skipped
+// (eval/export path). Returns the number of edge-truncated samples, or -1
+// if ln > 32768.
+int64_t medtok_graph_pack_compact(
+    const void* handle, const int64_t* node_data, const int64_t* node_off,
+    int64_t batch, int64_t ln, int64_t epg, double dropout_p, uint64_t seed,
+    int32_t* node_ids, uint8_t* node_mask, int32_t* edge_packed, int32_t* ne,
+    int32_t* edge_packed_aug, int32_t* ne_aug) {
+  if (ln > 32768) return -1;
+  const auto* g = static_cast<const Graph*>(handle);
+  const bool want_aug = edge_packed_aug != edge_packed;
+
+  auto pack_range = [&](int64_t b0, int64_t b1, int64_t* out_truncated) {
+    Stamp st;
+    st.ensure(g->num_nodes);
+    std::vector<int32_t> s(epg), d(epg);
+    int64_t truncated = 0;
+    for (int64_t b = b0; b < b1; b++) {
+      const int64_t* nodes = node_data + node_off[b];
+      int64_t n = node_off[b + 1] - node_off[b];
+      int64_t n_keep = std::min(n, ln);
+      for (int64_t i = 0; i < n_keep; i++) {
+        node_ids[b * ln + i] = static_cast<int32_t>(nodes[i]);
+        node_mask[b * ln + i] = 1;
+      }
+      for (int64_t i = n_keep; i < ln; i++) {
+        node_ids[b * ln + i] = 0;
+        node_mask[b * ln + i] = 0;
+      }
+      int64_t total = subgraph_stamped(g, nodes, n_keep, b, st, s.data(),
+                                       d.data(), epg);
+      int64_t nedge = std::min(total, epg);
+      if (total > epg) truncated++;
+      int64_t o = b * epg;
+      for (int64_t e = 0; e < nedge; e++)
+        edge_packed[o + e] = (s[e] << 16) | d[e];
+      std::memset(edge_packed + o + nedge, 0,
+                  sizeof(int32_t) * (epg - nedge));
+      ne[b] = static_cast<int32_t>(nedge);
+      if (want_aug) {
+        Rng rng(seed * 0x9E3779B97f4A7C15ULL + static_cast<uint64_t>(b));
+        int64_t na = 0;
+        for (int64_t e = 0; e < nedge; e++) {
+          bool keep = dropout_p <= 0.0 || rng.uniform() > dropout_p;
+          if (keep) edge_packed_aug[o + na++] = (s[e] << 16) | d[e];
+        }
+        std::memset(edge_packed_aug + o + na, 0,
+                    sizeof(int32_t) * (epg - na));
+        ne_aug[b] = static_cast<int32_t>(na);
+      }
+    }
+    *out_truncated = truncated;
+  };
+
+  int64_t hw = 0;
+  if (const char* env = std::getenv("MEDTOK_PACK_THREADS")) hw = std::atoll(env);
+  if (hw <= 0) hw = std::thread::hardware_concurrency();
+  int64_t nt = std::min<int64_t>(hw ? hw : 1, std::max<int64_t>(batch / 64, 1));
+  if (nt <= 1) {
+    int64_t truncated = 0;
+    pack_range(0, batch, &truncated);
+    return truncated;
+  }
+  std::vector<int64_t> trunc(nt, 0);
+  std::vector<std::thread> threads;
+  threads.reserve(nt);
+  for (int64_t t = 0; t < nt; t++) {
+    int64_t b0 = batch * t / nt, b1 = batch * (t + 1) / nt;
+    threads.emplace_back(pack_range, b0, b1, &trunc[t]);
+  }
+  int64_t truncated = 0;
+  for (int64_t t = 0; t < nt; t++) {
+    threads[t].join();
+    truncated += trunc[t];
+  }
+  return truncated;
+}
+
 }  // extern "C"

@@ -267,6 +267,59 @@ class MedCodeDataset:
             code_indices=np.asarray(indices, np.int32),
         )
 
+    def make_batch_compact(
+        self,
+        indices: Sequence[int],
+        *,
+        aug_seed: int | None = None,
+        force_shapes: tuple[int, int, int] | None = None,
+    ):
+        """Transfer-optimized batch: edges as one (src << 16) | dst int32 per
+        edge + per-graph counts, written into POOLED native buffers (3x fewer
+        h2d bytes and no fresh multi-MB allocations per step — the two costs
+        that dominate heavy-tail export steps; see data/native.py).
+
+        Returns ``(CompactCodeBatch, fence)``. After launching the device
+        transfer, call ``fence.set_fence(one_transferred_jax_array)`` so the
+        pooled buffers are not overwritten while the transfer is in flight.
+        Falls back to compressing a classic ``make_batch`` when the native
+        library is unavailable (fence is then a no-op holder).
+        """
+        from medtok_tpu.data.types import CompactCodeBatch
+
+        if force_shapes is not None:
+            Lt, Ln, Epg = force_shapes
+        else:
+            Lt, Ln, Epg = self.batch_shapes(indices)
+        if self.native is None:
+            classic = self.make_batch(indices, aug_seed=aug_seed,
+                                      force_shapes=(Lt, Ln, Epg))
+            return _compress_classic(classic, Ln, Epg,
+                                     want_aug=aug_seed is not None)
+
+        texts = [self.text_ids(int(i)) for i in indices]
+        nodes = [self.node_list(int(i)) for i in indices]
+        p = self.cfg.edge_dropout_p if aug_seed is not None else 0.0
+        packed, entry = self.native.pack_batch_compact(
+            nodes, ln=Ln, epg=Epg, dropout_p=p, seed=aug_seed or 0,
+            want_aug=aug_seed is not None,
+        )
+        B = len(indices)
+        input_ids = np.full((B, Lt), self.tokenizer.pad_id, np.int32)
+        attention_mask = np.zeros((B, Lt), np.int32)
+        for i, t in enumerate(texts):
+            L = min(len(t), Lt)
+            input_ids[i, :L] = t[:L]
+            attention_mask[i, :L] = 1
+        return CompactCodeBatch(
+            input_ids=input_ids, attention_mask=attention_mask,
+            node_ids=packed["node_ids"], node_mask=packed["node_mask"],
+            edge_packed=packed["edge_packed"], ne=packed["ne"],
+            edge_packed_aug=packed["edge_packed_aug"],
+            ne_aug=packed["ne_aug"],
+            code_indices=np.asarray(indices, np.int32),
+        ), entry
+
     def __getitem__(self, idx: int) -> CodeSample:
         row = self.df.iloc[idx]
         if idx not in self._text_cache:
@@ -284,6 +337,50 @@ class MedCodeDataset:
             input_ids=self._text_cache[idx],
             nodes=nodes, edge_src=src, edge_dst=dst, rel=rel,
         )
+
+
+class _NoopFence:
+    """Fence holder for the no-pool fallback path (API parity)."""
+
+    def set_fence(self, x) -> None:  # noqa: D102
+        pass
+
+
+def _compress_classic(classic, ln: int, epg: int, *, want_aug: bool):
+    """CodeBatch -> (CompactCodeBatch, fence): numpy fallback used when the
+    native library is unavailable. Classic edge slots are front-packed per
+    graph (both the C++ packer and ``collate`` write real edges first), so
+    ne = count of nonzero weights per graph chunk."""
+    from medtok_tpu.data.types import CompactCodeBatch
+
+    B = classic.node_ids.shape[0]
+
+    def compress(src, dst, w):
+        valid = w.reshape(B, epg) > 0
+        ne = valid.sum(axis=1).astype(np.int32)
+        packed = np.where(
+            valid.reshape(-1),
+            (src.astype(np.int32) << 16) | dst.astype(np.int32), 0
+        ).astype(np.int32)
+        return packed, ne
+
+    edge_packed, ne = compress(classic.edge_src, classic.edge_dst,
+                               classic.edge_weight)
+    if want_aug:
+        edge_packed_aug, ne_aug = compress(
+            classic.edge_src_aug, classic.edge_dst_aug,
+            classic.edge_weight_aug)
+    else:
+        edge_packed_aug, ne_aug = None, None
+    return CompactCodeBatch(
+        input_ids=classic.input_ids,
+        attention_mask=classic.attention_mask,
+        node_ids=classic.node_ids,
+        node_mask=np.asarray(classic.node_mask, np.uint8),
+        edge_packed=edge_packed, ne=ne,
+        edge_packed_aug=edge_packed_aug, ne_aug=ne_aug,
+        code_indices=classic.code_indices,
+    ), _NoopFence()
 
 
 def collate(

@@ -39,6 +39,29 @@ class CodeBatch(NamedTuple):
     code_indices: jax.Array     # [B] int32 row index into the code vocab
 
 
+class CompactCodeBatch(NamedTuple):
+    """Transfer-optimized CodeBatch: one int32 per edge ((src << 16) | dst,
+    front-packed per graph) and per-graph edge counts instead of the three
+    int32/f32 edge arrays — 3x fewer host->device bytes, which is what the
+    heavy-tail export step is bound by (the device work is ~30 ms while the
+    classic batch ships ~100 MB). ``unpack_compact`` (data/compact.py)
+    rebuilds the classic CodeBatch on device; XLA fuses the shifts/compares
+    into the consumers. Aug fields are None on the eval/export path (the
+    reference's eval forward never reads the augmented graph,
+    tokenizer.py:227-247), so no aug bytes cross the PCIe/ICI link at all.
+    """
+
+    input_ids: jax.Array         # [B, Lt] int32
+    attention_mask: jax.Array    # [B, Lt] int32
+    node_ids: jax.Array          # [B, Ln] int32
+    node_mask: jax.Array         # [B, Ln] uint8 (cast to bool on device)
+    edge_packed: jax.Array       # [E] int32, (src << 16) | dst
+    ne: jax.Array                # [B] int32 real-edge count per graph
+    edge_packed_aug: jax.Array | None   # [E] int32 or None (eval)
+    ne_aug: jax.Array | None            # [B] int32 or None (eval)
+    code_indices: jax.Array      # [B] int32
+
+
 class PackedTextBatch(NamedTuple):
     """Sequence-packed companion to a CodeBatch's text fields
     (data/packing.py): the B descriptions share [R, P] encoder rows. Under

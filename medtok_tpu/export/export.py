@@ -125,6 +125,7 @@ def _export_all_packed(
     artifacts are identical to the unpacked sweep."""
     import jax.numpy as jnp
 
+    from medtok_tpu.data.compact import unpack_compact
     from medtok_tpu.data.packing import pack_texts, take_group
     from medtok_tpu.parallel.mesh import batch_sharding, replicated
 
@@ -162,9 +163,12 @@ def _export_all_packed(
             method=MultimodalTokenizer.encode_text_packed,
         )
 
-    def quant_fn(flat, gidx, tmask, batch):
+    def quant_fn(flat, gidx, tmask, cb):
+        # compact batch (pooled buffers, 3x fewer h2d bytes) expands on
+        # device; XLA fuses the shifts/masks into the GCN consumers
         return model.apply(
-            {"params": params, "usage": usage}, flat, gidx, tmask, batch,
+            {"params": params, "usage": usage}, flat, gidx, tmask,
+            unpack_compact(cb),
             method=MultimodalTokenizer.tokenize_from_hidden,
         )
 
@@ -176,12 +180,15 @@ def _export_all_packed(
         rep = replicated(mesh)
         bert_step = jax.jit(bert_fn, in_shardings=(bs, bs, bs),
                             out_shardings=rep)
-        bspec = jax.tree.map(
-            lambda _: bs, CodeBatch(*CodeBatch._fields)
-        )
-        quant_step = jax.jit(
-            quant_fn, in_shardings=(rep, bs, bs, bspec), out_shardings=rep
-        )
+
+        def quant_jit_for(example_cb):
+            bspec = jax.tree.map(lambda _: bs, example_cb)
+            return jax.jit(
+                quant_fn, in_shardings=(rep, bs, bs, bspec),
+                out_shardings=rep,
+            )
+
+        quant_step = None  # built lazily from the first batch's tree shape
 
     dataset.warm_cache(tokenize=True)
     texts = [dataset.text_ids(i) for i in range(n)]
@@ -213,10 +220,15 @@ def _export_all_packed(
         tm = np.concatenate(
             [p.text_mask, np.repeat(p.text_mask[-1:], C - len(group), 0)]
         )
-        batch = dataset.make_batch([int(x) for x in idxs], aug_seed=None)
+        batch, fence = dataset.make_batch_compact(
+            [int(x) for x in idxs], aug_seed=None
+        )
+        if quant_step is None:
+            quant_step = quant_jit_for(batch)
         flat = bert_step(jnp.asarray(p.input_ids), jnp.asarray(p.seg_ids),
                          jnp.asarray(p.pos_ids))
         out = quant_step(flat, jnp.asarray(gi), jnp.asarray(tm), batch)
+        fence.set_fence(out.embedding)
         inflight.append((group, out))
         if len(inflight) > prefetch:
             drain(inflight.pop(0))

@@ -1,0 +1,146 @@
+"""Compact pooled batches (data/native.py::pack_batch_compact,
+data/compact.py::unpack_compact): the transfer-optimized edge layout used by
+the heavy-tail export path. Must be bit-equivalent to the classic
+make_batch after device-side expansion, and the buffer pool must recycle
+safely behind its fences."""
+
+import numpy as np
+import pytest
+
+from medtok_tpu.config import DataConfig
+from medtok_tpu.data.compact import unpack_compact
+from medtok_tpu.data.dataset import MedCodeDataset
+from medtok_tpu.data.native import native_available
+from medtok_tpu.data.synthetic import synthetic_code_vocab, synthetic_kg_csv
+from medtok_tpu.data.text import WordPieceTokenizer, make_test_vocab
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    d = tmp_path_factory.mktemp("compact")
+    rng = np.random.default_rng(3)
+    synthetic_kg_csv(str(d / "kg.csv"), rng, num_nodes=300, num_edges=2500)
+    synthetic_code_vocab(str(d / "codes.parquet"), rng, num_codes=40,
+                         num_nodes=300)
+    vocab = make_test_vocab(
+        ["diabetes", "mellitus", "acute", "chronic", "infection", "fracture"]
+    )
+    cfg = DataConfig(
+        text_buckets=(16, 32), node_buckets=(8, 16), edge_buckets=(16, 64),
+        max_text_length=32,
+    )
+    return MedCodeDataset(
+        d / "kg.csv", d / "codes.parquet", WordPieceTokenizer(vocab), cfg=cfg
+    )
+
+
+def _assert_equiv(classic, compact):
+    """unpacked compact batch == classic batch, field by field."""
+    got = unpack_compact(compact)
+    for f in classic._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, f)), np.asarray(getattr(classic, f)),
+            err_msg=f,
+        )
+
+
+@pytest.mark.parametrize("aug_seed", [None, 7])
+def test_compact_equals_classic(dataset, aug_seed):
+    idxs = list(range(16))
+    classic = dataset.make_batch(idxs, aug_seed=aug_seed)
+    compact, fence = dataset.make_batch_compact(idxs, aug_seed=aug_seed)
+    assert (compact.edge_packed_aug is None) == (aug_seed is None)
+    _assert_equiv(classic, compact)
+    fence.set_fence(None)  # API exists even on the fallback path
+
+
+def test_compact_forced_shapes(dataset):
+    idxs = [3, 1, 2, 9]
+    shp = (16, 16, 64)
+    classic = dataset.make_batch(idxs, aug_seed=None, force_shapes=shp)
+    compact, _ = dataset.make_batch_compact(idxs, aug_seed=None,
+                                            force_shapes=shp)
+    _assert_equiv(classic, compact)
+
+
+def test_compact_model_outputs_match(dataset):
+    """The full eval forward through unpack_compact equals the classic
+    batch's outputs bit-for-bit (the consumer-level guarantee)."""
+    import jax
+
+    from medtok_tpu.config import (
+        GraphEncoderConfig,
+        ModelConfig,
+        QuantizerConfig,
+        TextEncoderConfig,
+    )
+    from medtok_tpu.models.tokenizer_model import MultimodalTokenizer
+
+    cfg = ModelConfig(
+        text=TextEncoderConfig(vocab_size=64, hidden_size=32, num_layers=1,
+                               num_heads=4, intermediate_size=64),
+        graph=GraphEncoderConfig(num_nodes=300, in_channels=8,
+                                 hidden_channels=16, out_channels=16),
+        quantizer=QuantizerConfig(codebook_size=90, codebook_embed_dim=16),
+    )
+    model = MultimodalTokenizer(cfg)
+    idxs = list(range(12))
+    classic = dataset.make_batch(idxs, aug_seed=None)
+    compact, _ = dataset.make_batch_compact(idxs, aug_seed=None)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        classic, train=False,
+    )
+
+    @jax.jit
+    def classic_step(b):
+        return model.apply(variables, b, train=False)
+
+    @jax.jit
+    def compact_step(cb):
+        return model.apply(variables, unpack_compact(cb), train=False)
+
+    a = classic_step(classic)
+    b = compact_step(compact)
+    np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+    np.testing.assert_array_equal(np.asarray(a.embedding),
+                                  np.asarray(b.embedding))
+    np.testing.assert_array_equal(np.asarray(a.weights), np.asarray(b.weights))
+
+
+@pytest.mark.skipif(not native_available(), reason="native lib unavailable")
+def test_pool_recycles_and_fences(dataset):
+    class Fence:
+        def __init__(self):
+            self.waited = 0
+
+        def block_until_ready(self):
+            self.waited += 1
+
+    native = dataset.native
+    idxs = list(range(8))
+    seen = set()
+    fences = []
+    depth = native.POOL_DEPTH
+    for i in range(depth + 2):
+        compact, entry = dataset.make_batch_compact(idxs, aug_seed=None)
+        ptr = compact.edge_packed.ctypes.data
+        f = Fence()
+        entry.set_fence(f)
+        fences.append((ptr, f))
+        seen.add(ptr)
+    # pool depth distinct buffers, then reuse
+    assert len(seen) == depth
+    # the recycled entries' fences were awaited exactly once
+    waited = [f.waited for _, f in fences]
+    assert waited[0] == 1 and waited[1] == 1
+    assert all(w == 0 for w in waited[2:])
+
+
+@pytest.mark.skipif(not native_available(), reason="native lib unavailable")
+def test_pool_keys_by_shape(dataset):
+    _, e1 = dataset.make_batch_compact(list(range(8)), aug_seed=None,
+                                       force_shapes=(16, 8, 16))
+    _, e2 = dataset.make_batch_compact(list(range(8)), aug_seed=None,
+                                       force_shapes=(16, 16, 64))
+    assert e1.bufs["edge_packed"].shape != e2.bufs["edge_packed"].shape
