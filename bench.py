@@ -478,7 +478,7 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
     heavy_tail), then by text length within a bucket; every quantizer
     program shape (Ct, node bucket) is pinned via force_shapes and compiled
     before the clock starts."""
-    from medtok_tpu.data.packing import pack_texts
+    from medtok_tpu.data.packing import pack_texts_meta
 
     R = int(os.environ.get("MEDTOK_BENCH_PACK_ROWS", 256))
     P, LMAX = 128, 64
@@ -500,22 +500,33 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
     R_PER_NB = {0: R, 1: R, 2: max(R // 4, 2)}
     C_BUCKETS = C_PER_NB[0]
 
+    # text-side aux arrays (seg/pos [R, P], gather/mask [C, lmax]) are
+    # DERIVED ON DEVICE from two tiny per-code vectors (flat_base, tlens) —
+    # the host ships the int16 token rows + ~16 KB of metadata instead of
+    # ~1.6 MB/step of index arrays (data/compact.py::derive_packed_meta)
     @jax.jit
-    def bert_step(params, ids, seg, pos):
-        # pairwise mask built ON DEVICE from seg ids (h2d stays [R, P])
-        pm = (seg[:, :, None] == seg[:, None, :]) & (seg[:, :, None] > 0)
+    def bert_step(params, ids, flat_base, tlens):
+        from medtok_tpu.data.compact import derive_packed_meta
         from medtok_tpu.models.tokenizer_model import MultimodalTokenizer
 
+        R, P = ids.shape
+        seg, pos, _, _ = derive_packed_meta(
+            flat_base, tlens, num_rows=R, row_len=P, lmax=1
+        )
+        pm = (seg[:, :, None] == seg[:, None, :]) & (seg[:, :, None] > 0)
         return model.apply(
-            {"params": params}, ids, pm, pos,
+            {"params": params}, ids.astype(jnp.int32), pm, pos,
             method=MultimodalTokenizer.encode_text_packed,
         )
 
     @jax.jit
-    def quant_step(carry, params, usage, flat, gidx, tmask, cb):
-        from medtok_tpu.data.compact import unpack_compact
+    def quant_step(carry, params, usage, flat, flat_base, tlens, cb):
+        from medtok_tpu.data.compact import derive_packed_meta, unpack_compact
         from medtok_tpu.models.tokenizer_model import MultimodalTokenizer
 
+        _, _, gidx, tmask = derive_packed_meta(
+            flat_base, tlens, num_rows=1, row_len=1, lmax=LMAX
+        )
         out = model.apply(
             {"params": params, "usage": usage}, flat, gidx, tmask,
             unpack_compact(cb),
@@ -543,12 +554,13 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
 
     # ---- precompile (outside the clock) ----
     rng = np.random.default_rng(2)
-    dummy_ids = jnp.asarray(rng.integers(1, 100, (R, P)), jnp.int32)
-    dummy_seg = jnp.asarray(
-        np.repeat(np.arange(1, R * P // 16 + 1), 16).reshape(R, P), jnp.int32
+    CMAX = max(max(v) for v in C_PER_NB.values())
+    TDT = np.int16 if model.cfg.text.vocab_size < 32768 else np.int32
+    dummy_ids = jnp.asarray(rng.integers(1, 100, (R, P)), TDT)
+    dummy_base = jnp.asarray(
+        np.minimum(np.arange(CMAX) * 16, R * P - 16), jnp.int32
     )
-    dummy_pos = jnp.asarray(np.tile(np.arange(16), R * P // 16).reshape(R, P),
-                            jnp.int32)
+    dummy_lens = jnp.asarray(np.full(CMAX, 8), jnp.int32)
     import sys
 
     def note(msg):
@@ -560,7 +572,8 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
         if Rb not in flats:
             note(f"bench: compiling bert_step R={Rb}")
             flats[Rb] = bert_step(
-                params, dummy_ids[:Rb], dummy_seg[:Rb], dummy_pos[:Rb]
+                params, dummy_ids[:Rb],
+                jnp.minimum(dummy_base, Rb * P - 16), dummy_lens,
             )
             flats[Rb].block_until_ready()
         for C in C_PER_NB[bi]:
@@ -570,9 +583,10 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
             b, fence = dataset.make_batch_compact(
                 idxs, aug_seed=None, force_shapes=forced(bi)
             )
-            gi = jnp.zeros((C, LMAX), jnp.int32)
-            tm = jnp.zeros((C, LMAX), bool).at[:, 0].set(True)
-            c = quant_step(jnp.zeros(()), params, usage, flats[Rb], gi, tm, b)
+            base_c = jnp.zeros((C,), jnp.int32)
+            lens_c = jnp.ones((C,), jnp.int32)
+            c = quant_step(jnp.zeros(()), params, usage, flats[Rb],
+                           base_c, lens_c, b)
             fence.set_fence(c)
             float(c)
 
@@ -581,8 +595,13 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
     bounds = np.linspace(0, N_CODES, NSHARDS + 1).astype(np.int64)
     t0 = time.perf_counter()
     dataset.warm_cache(tokenize=False)
+    t_warm = time.perf_counter() - t0
     carry = jnp.zeros((), jnp.float32)
     t_tok = 0.0
+    t_group = 0.0       # group selection / padding index math
+    t_ptext = 0.0       # pack_texts (host python)
+    t_mkbatch = 0.0     # compact native pack
+    t_disp = 0.0        # jnp.asarray h2d + jit dispatch
     n_steps = 0
     n_big = 0
     bert_tokens = 0
@@ -612,6 +631,7 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
             while i < len(order):
                 from medtok_tpu.data.packing import take_group
 
+                tg = time.perf_counter()
                 Rb = R_PER_NB[bi]
                 j = take_group(lens, order, i, row_len=P, num_rows=Rb,
                                max_codes=C_PER_NB[bi][-1])
@@ -620,28 +640,39 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
                 C = c_bucket(len(group), bi)
                 pad = np.repeat(group[-1:], C - len(group))
                 idxs = np.concatenate([group, pad]) + lo
-                p = pack_texts(
+                tp = time.perf_counter()
+                ids_np, base_np, lens_np = pack_texts_meta(
                     [texts[int(g)] for g in group], row_len=P, num_rows=Rb,
-                    lmax=LMAX,
                 )
-                gi = np.concatenate(
-                    [p.gather_idx,
-                     np.repeat(p.gather_idx[-1:], C - len(group), 0)]
-                )
-                tm = np.concatenate(
-                    [p.text_mask, np.repeat(p.text_mask[-1:], C - len(group), 0)]
-                )
+                npad = C - len(group)
+                base_c = np.concatenate(
+                    [base_np, np.repeat(base_np[-1:], npad)])
+                lens_c = np.concatenate(
+                    [lens_np, np.repeat(lens_np[-1:], npad)])
+                nmax = CMAX - len(group)
+                base_m = np.concatenate(
+                    [base_np, np.repeat(base_np[-1:], nmax)])
+                lens_m = np.concatenate(
+                    [lens_np, np.repeat(lens_np[-1:], nmax)])
+                tb = time.perf_counter()
                 batch, fence = dataset.make_batch_compact(
                     [int(x) for x in idxs], aug_seed=None,
                     force_shapes=forced(bi),
                 )
+                td = time.perf_counter()
                 flat = bert_step(
-                    params, jnp.asarray(p.input_ids), jnp.asarray(p.seg_ids),
-                    jnp.asarray(p.pos_ids),
+                    params, jnp.asarray(ids_np.astype(TDT)),
+                    jnp.asarray(base_m), jnp.asarray(lens_m),
                 )
                 carry = quant_step(carry, params, usage, flat,
-                                   jnp.asarray(gi), jnp.asarray(tm), batch)
+                                   jnp.asarray(base_c), jnp.asarray(lens_c),
+                                   batch)
                 fence.set_fence(carry)
+                te = time.perf_counter()
+                t_group += tp - tg
+                t_ptext += tb - tp
+                t_mkbatch += td - tb
+                t_disp += te - td
                 n_steps += 1
                 bert_tokens += Rb * P
                 vq_codes += C
@@ -653,6 +684,11 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
         "packed": True, "pack_rows": R, "pack_row_len": P,
         "n_steps": n_steps, "n_shards": NSHARDS,
         "heavy_tail_codes": n_big,
+        "host_phases_s": {
+            "warm": round(t_warm, 2), "tokenize": round(t_tok, 2),
+            "group": round(t_group, 2), "pack_texts": round(t_ptext, 2),
+            "make_batch": round(t_mkbatch, 2), "dispatch": round(t_disp, 2),
+        },
         "mfu_export": export_mfu(wall, bert_tokens, vq_codes),
     }
 

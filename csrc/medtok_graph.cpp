@@ -261,6 +261,8 @@ int64_t medtok_graph_pack_batch(
   return truncated;
 }
 
+}  // extern "C"
+
 // Compact pack: same extraction as medtok_graph_pack_batch, but edges are
 // emitted as ONE int32 per edge — (src << 16) | dst (requires ln <= 32768 so
 // the sign bit stays clear) — plus per-graph edge counts ne[B] instead of a
@@ -272,13 +274,16 @@ int64_t medtok_graph_pack_batch(
 // When the aug pointers ALIAS the main pointers the aug pass is skipped
 // (eval/export path). Returns the number of edge-truncated samples, or -1
 // if ln > 32768.
-int64_t medtok_graph_pack_compact(
-    const void* handle, const int64_t* node_data, const int64_t* node_off,
-    int64_t batch, int64_t ln, int64_t epg, double dropout_p, uint64_t seed,
-    int32_t* node_ids, uint8_t* node_mask, int32_t* edge_packed, int32_t* ne,
-    int32_t* edge_packed_aug, int32_t* ne_aug) {
+namespace {
+
+// Shared body for the compact packers: NodesOf(b) -> (ptr, len).
+template <class NodesOf>
+int64_t pack_compact_impl(
+    const Graph* g, NodesOf nodes_of, int64_t batch, int64_t ln, int64_t epg,
+    double dropout_p, uint64_t seed, int32_t* node_ids, uint8_t* node_mask,
+    int32_t* edge_packed, int32_t* ne, int32_t* edge_packed_aug,
+    int32_t* ne_aug) {
   if (ln > 32768) return -1;
-  const auto* g = static_cast<const Graph*>(handle);
   const bool want_aug = edge_packed_aug != edge_packed;
 
   auto pack_range = [&](int64_t b0, int64_t b1, int64_t* out_truncated) {
@@ -287,8 +292,9 @@ int64_t medtok_graph_pack_compact(
     std::vector<int32_t> s(epg), d(epg);
     int64_t truncated = 0;
     for (int64_t b = b0; b < b1; b++) {
-      const int64_t* nodes = node_data + node_off[b];
-      int64_t n = node_off[b + 1] - node_off[b];
+      const int64_t* nodes;
+      int64_t n;
+      nodes_of(b, &nodes, &n);
       int64_t n_keep = std::min(n, ln);
       for (int64_t i = 0; i < n_keep; i++) {
         node_ids[b * ln + i] = static_cast<int32_t>(nodes[i]);
@@ -345,6 +351,46 @@ int64_t medtok_graph_pack_compact(
     truncated += trunc[t];
   }
   return truncated;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t medtok_graph_pack_compact(
+    const void* handle, const int64_t* node_data, const int64_t* node_off,
+    int64_t batch, int64_t ln, int64_t epg, double dropout_p, uint64_t seed,
+    int32_t* node_ids, uint8_t* node_mask, int32_t* edge_packed, int32_t* ne,
+    int32_t* edge_packed_aug, int32_t* ne_aug) {
+  const auto* g = static_cast<const Graph*>(handle);
+  auto nodes_of = [&](int64_t b, const int64_t** nodes, int64_t* n) {
+    *nodes = node_data + node_off[b];
+    *n = node_off[b + 1] - node_off[b];
+  };
+  return pack_compact_impl(g, nodes_of, batch, ln, epg, dropout_p, seed,
+                           node_ids, node_mask, edge_packed, ne,
+                           edge_packed_aug, ne_aug);
+}
+
+// Indexed variant: node lists come from a PRE-CONCATENATED arena
+// (all_data, all_off over the whole vocabulary, built once by warm_cache)
+// selected by idxs[batch] - removes the per-batch python list build +
+// concatenate from the hot path entirely.
+int64_t medtok_graph_pack_compact_idx(
+    const void* handle, const int64_t* all_data, const int64_t* all_off,
+    const int64_t* idxs, int64_t batch, int64_t ln, int64_t epg,
+    double dropout_p, uint64_t seed, int32_t* node_ids, uint8_t* node_mask,
+    int32_t* edge_packed, int32_t* ne, int32_t* edge_packed_aug,
+    int32_t* ne_aug) {
+  const auto* g = static_cast<const Graph*>(handle);
+  auto nodes_of = [&](int64_t b, const int64_t** nodes, int64_t* n) {
+    int64_t i = idxs[b];
+    *nodes = all_data + all_off[i];
+    *n = all_off[i + 1] - all_off[i];
+  };
+  return pack_compact_impl(g, nodes_of, batch, ln, epg, dropout_p, seed,
+                           node_ids, node_mask, edge_packed, ne,
+                           edge_packed_aug, ne_aug);
 }
 
 }  // extern "C"

@@ -17,7 +17,37 @@ import jax.numpy as jnp
 
 from medtok_tpu.data.types import CodeBatch, CompactCodeBatch
 
-__all__ = ["unpack_compact"]
+__all__ = ["unpack_compact", "derive_packed_meta"]
+
+
+def derive_packed_meta(flat_base, tlens, *, num_rows: int, row_len: int,
+                       lmax: int):
+    """Rebuild the packed-text auxiliary arrays on device from the two
+    per-code vectors shipped by pack_texts_meta (data/packing.py).
+
+    flat_base [C] int32 — code c's first slot in the flattened [R*P] rows
+    (non-decreasing: codes pack sequentially; batch-padding codes repeat the
+    last real entry). tlens [C] int32 — code token counts.
+
+    Returns (seg_ids [R, P], pos_ids [R, P], gather_idx [C, lmax],
+    text_mask [C, lmax]) bit-identical to pack_texts' host-built arrays up
+    to segment RELABELING for duplicated padding codes: positions of a
+    segment shared by duplicates all map to the same (last) duplicate id, so
+    the pairwise equality mask the encoder consumes — (seg_i == seg_j) &
+    (seg > 0) — is unchanged (tested).
+    """
+    f = jnp.arange(num_rows * row_len, dtype=jnp.int32)
+    c = jnp.searchsorted(flat_base, f, side="right").astype(jnp.int32) - 1
+    c = jnp.clip(c, 0, flat_base.shape[0] - 1)
+    base = flat_base[c]
+    valid = (f >= base) & (f < base + tlens[c])
+    seg = jnp.where(valid, c + 1, 0).reshape(num_rows, row_len)
+    pos = jnp.where(valid, f - base, 0).reshape(num_rows, row_len)
+    offs = jnp.arange(lmax, dtype=jnp.int32)
+    tm = offs[None, :] < tlens[:, None]
+    gi = jnp.where(tm, flat_base[:, None] + offs[None, :], 0)
+    return (seg.astype(jnp.int32), pos.astype(jnp.int32),
+            gi.astype(jnp.int32), tm)
 
 
 def _expand(edge_packed, ne, batch: int):

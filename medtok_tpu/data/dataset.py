@@ -72,6 +72,8 @@ class MedCodeDataset:
         self._text_cache: dict[int, np.ndarray] = {}
         self._graph_cache: dict[int, tuple] = {}
         self._node_lists: list[np.ndarray] | None = None  # warm_cache()
+        self._node_arena: np.ndarray | None = None        # warm_cache()
+        self._node_arena_off: np.ndarray | None = None
         self._code_index: dict[str, int] | None = None  # lookup()
         # tokenized-description cache file (the reference pickles
         # med_code_descriptions.pkl once, dataset_creator.py:213-229)
@@ -138,6 +140,15 @@ class MedCodeDataset:
         self._node_lists = [
             np.sort(np.asarray(list(v), np.int64)) for v in values
         ]
+        # arena view for the indexed native pack (zero per-batch python)
+        lens = np.fromiter((len(v) for v in self._node_lists), np.int64,
+                           len(self._node_lists))
+        self._node_arena_off = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=self._node_arena_off[1:])
+        self._node_arena = (
+            np.concatenate(self._node_lists)
+            if self._node_arena_off[-1] > 0 else np.zeros(0, np.int64)
+        )
         if tokenize:
             self.tokenize_rows(range(len(self.df)))
 
@@ -298,19 +309,49 @@ class MedCodeDataset:
                                      want_aug=aug_seed is not None)
 
         texts = [self.text_ids(int(i)) for i in indices]
-        nodes = [self.node_list(int(i)) for i in indices]
         p = self.cfg.edge_dropout_p if aug_seed is not None else 0.0
-        packed, entry = self.native.pack_batch_compact(
-            nodes, ln=Ln, epg=Epg, dropout_p=p, seed=aug_seed or 0,
-            want_aug=aug_seed is not None,
-        )
+        want_aug = aug_seed is not None
+
+        def pack(epg):
+            if self._node_arena is not None:
+                # arena-indexed native pack: no per-code python in the path
+                return self.native.pack_batch_compact_idx(
+                    self._node_arena, self._node_arena_off,
+                    np.asarray(indices, np.int64), ln=Ln, epg=epg,
+                    dropout_p=p, seed=aug_seed or 0, want_aug=want_aug,
+                )
+            nodes = [self.node_list(int(i)) for i in indices]
+            return self.native.pack_batch_compact(
+                nodes, ln=Ln, epg=epg, dropout_p=p, seed=aug_seed or 0,
+                want_aug=want_aug,
+            )
+
+        packed, entry = pack(Epg)
+        if force_shapes is None:
+            # grow the edge bucket if any sample's edges got truncated
+            # (classic make_batch semantics; forced shapes truncate instead)
+            bucket_i = self.cfg.edge_buckets.index(Epg) \
+                if Epg in self.cfg.edge_buckets else len(self.cfg.edge_buckets)
+            while packed["truncated"] and bucket_i < len(self.cfg.edge_buckets) - 1:
+                bucket_i += 1
+                Epg = self.cfg.edge_buckets[bucket_i]
+                packed, entry = pack(Epg)
         B = len(indices)
-        input_ids = np.full((B, Lt), self.tokenizer.pad_id, np.int32)
-        attention_mask = np.zeros((B, Lt), np.int32)
-        for i, t in enumerate(texts):
-            L = min(len(t), Lt)
-            input_ids[i, :L] = t[:L]
-            attention_mask[i, :L] = 1
+        # vectorized text fill (one concatenate + one flat scatter; the
+        # per-code slice-assign loop was ~4 ms at C=4096)
+        input_ids = np.full(B * Lt, self.tokenizer.pad_id, np.int32)
+        attention_mask = np.zeros(B * Lt, np.int32)
+        tl = np.fromiter((min(len(t), Lt) for t in texts), np.int64, B)
+        if B and tl.sum():
+            cum = np.concatenate([[0], np.cumsum(tl)[:-1]])
+            code_of = np.repeat(np.arange(B), tl)
+            within = np.arange(int(tl.sum())) - cum[code_of]
+            flat_pos = code_of * Lt + within
+            toks = np.concatenate([t[:Lt] for t in texts]) if len(texts) else []
+            input_ids[flat_pos] = toks
+            attention_mask[flat_pos] = 1
+        input_ids = input_ids.reshape(B, Lt)
+        attention_mask = attention_mask.reshape(B, Lt)
         return CompactCodeBatch(
             input_ids=input_ids, attention_mask=attention_mask,
             node_ids=packed["node_ids"], node_mask=packed["node_mask"],

@@ -60,6 +60,12 @@ def _load():
         ctypes.c_int64, ctypes.c_double, ctypes.c_uint64,
         i32p, u8p, i32p, i32p, i32p, i32p,
     ]
+    lib.medtok_graph_pack_compact_idx.restype = ctypes.c_int64
+    lib.medtok_graph_pack_compact_idx.argtypes = [
+        ctypes.c_void_p, i64p, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_double, ctypes.c_uint64,
+        i32p, u8p, i32p, i32p, i32p, i32p,
+    ]
     _lib = lib
     return lib
 
@@ -253,8 +259,39 @@ class NativeGraph:
         node_data = np.ascontiguousarray(node_data)
 
         key = (B, ln, epg, bool(want_aug))
-        e = B * epg
+        entry = self._acquire(
+            key, self._compact_bufs(B, ln, B * epg, want_aug)
+        )
+        b = entry.bufs
+        truncated = self._lib.medtok_graph_pack_compact(
+            self._handle, _ptr(node_data, ctypes.c_int64),
+            _ptr(node_off, ctypes.c_int64), B, ln, epg,
+            float(dropout_p), int(seed) & (2**64 - 1),
+            _ptr(b["node_ids"], ctypes.c_int32),
+            _ptr(b["node_mask"], ctypes.c_uint8),
+            _ptr(b["edge_packed"], ctypes.c_int32),
+            _ptr(b["ne"], ctypes.c_int32),
+            _ptr(b["edge_packed_aug"], ctypes.c_int32),
+            _ptr(b["ne_aug"], ctypes.c_int32),
+        )
+        return self._compact_out(b, truncated, B, ln, want_aug), entry
 
+    @staticmethod
+    def _compact_out(b: dict, truncated: int, B: int, ln: int,
+                     want_aug: bool) -> dict:
+        if truncated < 0:
+            raise ValueError(f"ln={ln} rejected by native compact pack")
+        return {
+            "node_ids": b["node_ids"].reshape(B, ln),
+            "node_mask": b["node_mask"].reshape(B, ln),
+            "edge_packed": b["edge_packed"],
+            "ne": b["ne"],
+            "edge_packed_aug": b["edge_packed_aug"] if want_aug else None,
+            "ne_aug": b["ne_aug"] if want_aug else None,
+            "truncated": int(truncated),
+        }
+
+    def _compact_bufs(self, B: int, ln: int, e: int, want_aug: bool):
         def make():
             bufs = {
                 "node_ids": np.empty(B * ln, np.int32),
@@ -270,12 +307,35 @@ class NativeGraph:
                 bufs["ne_aug"] = bufs["ne"]
             return bufs
 
-        entry = self._acquire(key, make)
+        return make
+
+    def pack_batch_compact_idx(
+        self,
+        arena_data: np.ndarray,   # [total] int64, all node lists concatenated
+        arena_off: np.ndarray,    # [N + 1] int64
+        indices: np.ndarray,      # [B] int64 vocab rows to pack
+        *,
+        ln: int,
+        epg: int,
+        dropout_p: float = 0.0,
+        seed: int = 0,
+        want_aug: bool = False,
+    ) -> tuple[dict[str, np.ndarray], _PoolEntry]:
+        """Arena-indexed compact pack: node lists come straight from the
+        warm-cache arena — no per-batch python list building or concatenate
+        (the remaining per-code python cost of pack_batch_compact at
+        C=4096)."""
+        if ln > 32768:
+            raise ValueError(f"ln={ln} exceeds the 15-bit compact src limit")
+        B = len(indices)
+        idxs = np.ascontiguousarray(indices, np.int64)
+        key = (B, ln, epg, bool(want_aug))
+        entry = self._acquire(key, self._compact_bufs(B, ln, B * epg, want_aug))
         b = entry.bufs
-        truncated = self._lib.medtok_graph_pack_compact(
-            self._handle, _ptr(node_data, ctypes.c_int64),
-            _ptr(node_off, ctypes.c_int64), B, ln, epg,
-            float(dropout_p), int(seed) & (2**64 - 1),
+        truncated = self._lib.medtok_graph_pack_compact_idx(
+            self._handle, _ptr(arena_data, ctypes.c_int64),
+            _ptr(arena_off, ctypes.c_int64), _ptr(idxs, ctypes.c_int64),
+            B, ln, epg, float(dropout_p), int(seed) & (2**64 - 1),
             _ptr(b["node_ids"], ctypes.c_int32),
             _ptr(b["node_mask"], ctypes.c_uint8),
             _ptr(b["edge_packed"], ctypes.c_int32),
@@ -283,15 +343,4 @@ class NativeGraph:
             _ptr(b["edge_packed_aug"], ctypes.c_int32),
             _ptr(b["ne_aug"], ctypes.c_int32),
         )
-        if truncated < 0:
-            raise ValueError(f"ln={ln} rejected by native compact pack")
-        out = {
-            "node_ids": b["node_ids"].reshape(B, ln),
-            "node_mask": b["node_mask"].reshape(B, ln),
-            "edge_packed": b["edge_packed"],
-            "ne": b["ne"],
-            "edge_packed_aug": b["edge_packed_aug"] if want_aug else None,
-            "ne_aug": b["ne_aug"] if want_aug else None,
-            "truncated": int(truncated),
-        }
-        return out, entry
+        return self._compact_out(b, truncated, B, ln, want_aug), entry

@@ -90,6 +90,59 @@ def pack_texts(
     return PackedText(input_ids, seg_ids, pos_ids, gather_idx, text_mask)
 
 
+def pack_texts_meta(
+    id_lists: list[np.ndarray],
+    *,
+    row_len: int = 128,
+    num_rows: int | None = None,
+):
+    """Transfer-optimized variant of :func:`pack_texts`: returns only what
+    must physically cross the wire — the packed token rows plus the per-code
+    ``flat_base``/``lens`` vectors. The derived [R, P] ``seg_ids``/
+    ``pos_ids`` and [B, lmax] ``gather_idx``/``text_mask`` arrays (~0.4 MB +
+    ~1 MB per step at production shapes, and a per-code python fill loop on
+    the host) are instead rebuilt ON DEVICE from the two tiny vectors
+    (data/compact.py::derive_packed_meta) — bit-identical, tested.
+
+    Returns (input_ids [R, P] int32, flat_base [B] int32, lens [B] int32).
+    The row fill is vectorized: one concatenate + one flat scatter instead
+    of B slice assignments.
+    """
+    B = len(id_lists)
+    lens = np.fromiter((len(t) for t in id_lists), np.int64, B)
+    if B and lens.max(initial=0) > row_len:
+        raise ValueError(f"description longer than row_len={row_len}")
+
+    # greedy sequential row assignment (same walk as pack_texts)
+    flat_base = np.zeros(B, np.int64)
+    row = 0
+    fill = 0
+    for b in range(B):
+        n = int(lens[b])
+        if fill + n > row_len:
+            row += 1
+            fill = 0
+        flat_base[b] = row * row_len + fill
+        fill += n
+
+    R = num_rows if num_rows is not None else row + 1
+    if row + 1 > R:
+        raise ValueError(f"packing needs {row + 1} rows > num_rows={R}")
+    input_ids = np.zeros(R * row_len, np.int32)
+    if B:
+        total = int(lens.sum())
+        # position of token t within its code: t - cumstart[code_of[t]]
+        cum = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        code_of = np.repeat(np.arange(B), lens)
+        within = np.arange(total) - cum[code_of]
+        input_ids[flat_base[code_of] + within] = np.concatenate(id_lists)
+    return (
+        input_ids.reshape(R, row_len),
+        flat_base.astype(np.int32),
+        lens.astype(np.int32),
+    )
+
+
 def pack_code_batch(
     input_ids: np.ndarray,        # [B, Lt] padded WordPiece ids
     attention_mask: np.ndarray,   # [B, Lt] 1 = real token

@@ -125,8 +125,8 @@ def _export_all_packed(
     artifacts are identical to the unpacked sweep."""
     import jax.numpy as jnp
 
-    from medtok_tpu.data.compact import unpack_compact
-    from medtok_tpu.data.packing import pack_texts, take_group
+    from medtok_tpu.data.compact import derive_packed_meta, unpack_compact
+    from medtok_tpu.data.packing import pack_texts_meta, take_group
     from medtok_tpu.parallel.mesh import batch_sharding, replicated
 
     n = len(dataset)
@@ -156,16 +156,29 @@ def _export_all_packed(
                 return c
         return c_buckets[-1]
 
-    def bert_fn(ids, seg, pos):
+    cmax = c_buckets[-1]
+    tdt = jnp.int16 if model.cfg.text.vocab_size < 32768 else jnp.int32
+
+    def bert_fn(ids, flat_base, tlens):
+        # seg/pos (and the pairwise same-code mask) derived ON DEVICE from
+        # the two per-code vectors — the host ships int16 token rows + ~16 KB
+        # of metadata instead of ~0.4 MB/step of index arrays
+        R2, P2 = ids.shape
+        seg, pos, _, _ = derive_packed_meta(
+            flat_base, tlens, num_rows=R2, row_len=P2, lmax=1
+        )
         pm = (seg[:, :, None] == seg[:, None, :]) & (seg[:, :, None] > 0)
         return model.apply(
-            {"params": params}, ids, pm, pos,
+            {"params": params}, ids.astype(jnp.int32), pm, pos,
             method=MultimodalTokenizer.encode_text_packed,
         )
 
-    def quant_fn(flat, gidx, tmask, cb):
+    def quant_fn(flat, flat_base, tlens, cb):
         # compact batch (pooled buffers, 3x fewer h2d bytes) expands on
         # device; XLA fuses the shifts/masks into the GCN consumers
+        _, _, gidx, tmask = derive_packed_meta(
+            flat_base, tlens, num_rows=1, row_len=1, lmax=lmax
+        )
         return model.apply(
             {"params": params, "usage": usage}, flat, gidx, tmask,
             unpack_compact(cb),
@@ -212,22 +225,27 @@ def _export_all_packed(
         C = c_bucket(len(group))
         pad = np.repeat(group[-1:], C - len(group))
         idxs = np.concatenate([group, pad])
-        p = pack_texts([texts[int(g)] for g in group], row_len=row_len,
-                       num_rows=num_rows, lmax=lmax)
-        gi = np.concatenate(
-            [p.gather_idx, np.repeat(p.gather_idx[-1:], C - len(group), 0)]
+        ids_np, base_np, lens_np = pack_texts_meta(
+            [texts[int(g)] for g in group], row_len=row_len,
+            num_rows=num_rows,
         )
-        tm = np.concatenate(
-            [p.text_mask, np.repeat(p.text_mask[-1:], C - len(group), 0)]
-        )
+        base_c = np.concatenate(
+            [base_np, np.repeat(base_np[-1:], C - len(group))])
+        lens_c = np.concatenate(
+            [lens_np, np.repeat(lens_np[-1:], C - len(group))])
+        base_m = np.concatenate(
+            [base_np, np.repeat(base_np[-1:], cmax - len(group))])
+        lens_m = np.concatenate(
+            [lens_np, np.repeat(lens_np[-1:], cmax - len(group))])
         batch, fence = dataset.make_batch_compact(
             [int(x) for x in idxs], aug_seed=None
         )
         if quant_step is None:
             quant_step = quant_jit_for(batch)
-        flat = bert_step(jnp.asarray(p.input_ids), jnp.asarray(p.seg_ids),
-                         jnp.asarray(p.pos_ids))
-        out = quant_step(flat, jnp.asarray(gi), jnp.asarray(tm), batch)
+        flat = bert_step(jnp.asarray(ids_np.astype(np.dtype(tdt))),
+                         jnp.asarray(base_m), jnp.asarray(lens_m))
+        out = quant_step(flat, jnp.asarray(base_c), jnp.asarray(lens_c),
+                         batch)
         fence.set_fence(out.embedding)
         inflight.append((group, out))
         if len(inflight) > prefetch:

@@ -144,3 +144,15 @@ def test_pool_keys_by_shape(dataset):
     _, e2 = dataset.make_batch_compact(list(range(8)), aug_seed=None,
                                        force_shapes=(16, 16, 64))
     assert e1.bufs["edge_packed"].shape != e2.bufs["edge_packed"].shape
+
+
+def test_compact_arena_path_equals_classic(dataset):
+    """After warm_cache the arena-indexed native pack is used — outputs must
+    still equal the classic batch exactly (both aug and eval)."""
+    dataset.warm_cache(tokenize=False)
+    assert dataset._node_arena is not None
+    for aug_seed in (None, 11):
+        idxs = [5, 0, 17, 3, 9, 9, 2, 30]
+        classic = dataset.make_batch(idxs, aug_seed=aug_seed)
+        compact, _ = dataset.make_batch_compact(idxs, aug_seed=aug_seed)
+        _assert_equiv(classic, compact)

@@ -152,3 +152,72 @@ def test_pack_code_batch_rejects_nondivisible_shards():
     am = np.ones((6, 4), np.int32)
     with pytest.raises(ValueError, match="divisible"):
         pack_code_batch(ids, am, shards=4, rows_per_shard=2, row_len=8)
+
+
+def test_pack_texts_meta_matches_pack_texts():
+    """pack_texts_meta (vectorized fill, metadata-only) + device-side
+    derive_packed_meta must reproduce pack_texts' host-built arrays: ids
+    bit-equal; gather/mask bit-equal; seg/pos equal up to the pairwise
+    same-code mask the encoder actually consumes."""
+    import jax.numpy as jnp
+
+    from medtok_tpu.data.compact import derive_packed_meta
+    from medtok_tpu.data.packing import pack_texts, pack_texts_meta
+
+    rng = np.random.default_rng(5)
+    lists = [
+        np.asarray(rng.integers(1, 50, rng.integers(1, 12)), np.int32)
+        for _ in range(37)
+    ]
+    R, P, LMAX = 12, 32, 16
+    p = pack_texts(lists, row_len=P, num_rows=R, lmax=LMAX)
+    ids, base, lens = pack_texts_meta(lists, row_len=P, num_rows=R)
+    np.testing.assert_array_equal(ids, p.input_ids)
+
+    seg, pos, gi, tm = derive_packed_meta(
+        jnp.asarray(base), jnp.asarray(lens), num_rows=R, row_len=P,
+        lmax=LMAX,
+    )
+    np.testing.assert_array_equal(np.asarray(gi), p.gather_idx)
+    np.testing.assert_array_equal(np.asarray(tm), p.text_mask)
+    np.testing.assert_array_equal(np.asarray(pos), p.pos_ids)
+    # seg values may relabel under duplicates; the consumed mask may not
+    def pmask(s):
+        s = np.asarray(s)
+        return (s[:, :, None] == s[:, None, :]) & (s[:, :, None] > 0)
+
+    np.testing.assert_array_equal(pmask(seg), pmask(p.seg_ids))
+    # occupancy must agree exactly
+    np.testing.assert_array_equal(np.asarray(seg) > 0, p.seg_ids > 0)
+
+
+def test_derive_packed_meta_duplicate_padding_codes():
+    """Batch padding repeats the last real code's (base, len): the derived
+    gather rows all point at the same flat range and the pairwise mask is
+    unchanged (duplicates share one segment)."""
+    import jax.numpy as jnp
+
+    from medtok_tpu.data.compact import derive_packed_meta
+    from medtok_tpu.data.packing import pack_texts, pack_texts_meta
+
+    lists = [np.asarray([5, 6, 7], np.int32), np.asarray([9, 9], np.int32)]
+    R, P, LMAX = 2, 8, 4
+    p = pack_texts(lists, row_len=P, num_rows=R, lmax=LMAX)
+    _, base, lens = pack_texts_meta(lists, row_len=P, num_rows=R)
+    base_c = np.concatenate([base, np.repeat(base[-1:], 3)])
+    lens_c = np.concatenate([lens, np.repeat(lens[-1:], 3)])
+    seg, pos, gi, tm = derive_packed_meta(
+        jnp.asarray(base_c), jnp.asarray(lens_c), num_rows=R, row_len=P,
+        lmax=LMAX,
+    )
+    # padded codes gather the duplicated code's range
+    for k in range(1, 5):
+        np.testing.assert_array_equal(np.asarray(gi)[k], np.asarray(gi)[1])
+        np.testing.assert_array_equal(np.asarray(tm)[k], np.asarray(tm)[1])
+
+    def pmask(s):
+        s = np.asarray(s)
+        return (s[:, :, None] == s[:, None, :]) & (s[:, :, None] > 0)
+
+    np.testing.assert_array_equal(pmask(seg), pmask(p.seg_ids))
+    np.testing.assert_array_equal(np.asarray(pos), p.pos_ids)
