@@ -97,6 +97,10 @@ def setup_dataset(workdir: str):
 
 
 def main() -> None:
+    from medtok_tpu.utils.platform import tune_malloc
+
+    tune_malloc()  # this VM faults fresh pages at MB/s rates; keep freed
+    # numpy buffers warm on the heap (see utils/platform.py)
     os.makedirs("/tmp/jax_cache", exist_ok=True)
     import jax
 
@@ -467,6 +471,19 @@ def emit_result(jax, jnp, wall, t_tok, checksum, extra) -> None:
     }))
 
 
+def _native_stats() -> dict:
+    try:
+        from medtok_tpu.data.native import STATS
+        return STATS
+    except Exception:
+        return {"fence_wait_s": 0.0, "pack_s": 0.0}
+
+
+def _tok_stats() -> dict:
+    from medtok_tpu.data.dataset import TOK_STATS
+    return TOK_STATS
+
+
 def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
     """Sequence-packed export sweep (data/packing.py): descriptions share
     fixed [R=256, P=128] BERT rows (ONE compiled text-encoder shape, zero
@@ -581,7 +598,8 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
             idxs = list(range(min(C, len(dataset))))
             idxs = (idxs * (C // len(idxs) + 1))[:C]
             b, fence = dataset.make_batch_compact(
-                idxs, aug_seed=None, force_shapes=forced(bi)
+                idxs, aug_seed=None, force_shapes=forced(bi),
+                want_text=False,
             )
             base_c = jnp.zeros((C,), jnp.int32)
             lens_c = jnp.ones((C,), jnp.int32)
@@ -593,6 +611,8 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
     # ---- TIMED ----
     NSHARDS = int(os.environ.get("MEDTOK_BENCH_SHARDS", 8))
     bounds = np.linspace(0, N_CODES, NSHARDS + 1).astype(np.int64)
+    stats = _native_stats()
+    stats["fence_wait_s"] = stats["pack_s"] = 0.0
     t0 = time.perf_counter()
     dataset.warm_cache(tokenize=False)
     t_warm = time.perf_counter() - t0
@@ -612,11 +632,8 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
         tt = time.perf_counter()
         dataset.tokenize_rows(range(lo, hi))
         texts = [dataset.text_ids(i) for i in range(lo, hi)]
-        lens = np.fromiter((len(t) for t in texts), np.int64, hi - lo)
-        nsizes = np.fromiter(
-            (len(dataset.node_list(i)) for i in range(lo, hi)), np.int64,
-            hi - lo,
-        )
+        lens = dataset.text_lengths(lo, hi)
+        nsizes = dataset.node_counts(lo, hi)
         t_tok += time.perf_counter() - tt
         bucket_of = np.searchsorted(np.asarray(NB), nsizes)
         bucket_of = np.minimum(bucket_of, len(NB) - 1)
@@ -657,7 +674,7 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
                 tb = time.perf_counter()
                 batch, fence = dataset.make_batch_compact(
                     [int(x) for x in idxs], aug_seed=None,
-                    force_shapes=forced(bi),
+                    force_shapes=forced(bi), want_text=False,
                 )
                 td = time.perf_counter()
                 flat = bert_step(
@@ -688,6 +705,10 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
             "warm": round(t_warm, 2), "tokenize": round(t_tok, 2),
             "group": round(t_group, 2), "pack_texts": round(t_ptext, 2),
             "make_batch": round(t_mkbatch, 2), "dispatch": round(t_disp, 2),
+            "fence_wait": round(_native_stats()["fence_wait_s"], 2),
+            "native_pack": round(_native_stats()["pack_s"], 2),
+            "tok_encode": round(_tok_stats()["encode_s"], 2),
+            "tok_store": round(_tok_stats()["store_s"], 2),
         },
         "mfu_export": export_mfu(wall, bert_tokens, vq_codes),
     }

@@ -126,6 +126,8 @@ int64_t medtok_graph_subgraph(const void* handle, const int64_t* nodes,
 // tail-only zeroing measure 40 ms (6.6x). Graphs write disjoint output
 // chunks, so the batch parallelizes across hardware threads (one stamp
 // array each; this dev box has 1 core, real TPU hosts have dozens).
+}  // extern "C"
+
 namespace {
 
 struct Stamp {
@@ -143,7 +145,8 @@ struct Stamp {
 // medtok_graph_subgraph (source nodes in list order, CSR neighbor order;
 // duplicate node-list entries map to their FIRST occurrence, matching
 // lower_bound).
-int64_t subgraph_stamped(const Graph* g, const int64_t* nodes, int64_t n,
+template <class NodeT>
+int64_t subgraph_stamped(const Graph* g, const NodeT* nodes, int64_t n,
                          int64_t b, Stamp& st, int32_t* out_src,
                          int32_t* out_dst, int64_t max_out) {
   for (int64_t i = 0; i < n; i++) {
@@ -173,6 +176,8 @@ int64_t subgraph_stamped(const Graph* g, const int64_t* nodes, int64_t n,
 }
 
 }  // namespace
+
+extern "C" {
 
 int64_t medtok_graph_pack_batch(
     const void* handle, const int64_t* node_data, const int64_t* node_off,
@@ -277,7 +282,7 @@ int64_t medtok_graph_pack_batch(
 namespace {
 
 // Shared body for the compact packers: NodesOf(b) -> (ptr, len).
-template <class NodesOf>
+template <class NodeT, class NodesOf>
 int64_t pack_compact_impl(
     const Graph* g, NodesOf nodes_of, int64_t batch, int64_t ln, int64_t epg,
     double dropout_p, uint64_t seed, int32_t* node_ids, uint8_t* node_mask,
@@ -292,7 +297,7 @@ int64_t pack_compact_impl(
     std::vector<int32_t> s(epg), d(epg);
     int64_t truncated = 0;
     for (int64_t b = b0; b < b1; b++) {
-      const int64_t* nodes;
+      const NodeT* nodes;
       int64_t n;
       nodes_of(b, &nodes, &n);
       int64_t n_keep = std::min(n, ln);
@@ -367,28 +372,29 @@ int64_t medtok_graph_pack_compact(
     *nodes = node_data + node_off[b];
     *n = node_off[b + 1] - node_off[b];
   };
-  return pack_compact_impl(g, nodes_of, batch, ln, epg, dropout_p, seed,
+  return pack_compact_impl<int64_t>(g, nodes_of, batch, ln, epg, dropout_p, seed,
                            node_ids, node_mask, edge_packed, ne,
                            edge_packed_aug, ne_aug);
 }
 
-// Indexed variant: node lists come from a PRE-CONCATENATED arena
-// (all_data, all_off over the whole vocabulary, built once by warm_cache)
+// Indexed variant: node lists come from a PRE-CONCATENATED int32 arena
+// (all_data, all_off over the whole vocabulary, built once by warm_cache —
+// int32 halves the arena's first-touch page cost on slow-fault VMs)
 // selected by idxs[batch] - removes the per-batch python list build +
 // concatenate from the hot path entirely.
 int64_t medtok_graph_pack_compact_idx(
-    const void* handle, const int64_t* all_data, const int64_t* all_off,
+    const void* handle, const int32_t* all_data, const int64_t* all_off,
     const int64_t* idxs, int64_t batch, int64_t ln, int64_t epg,
     double dropout_p, uint64_t seed, int32_t* node_ids, uint8_t* node_mask,
     int32_t* edge_packed, int32_t* ne, int32_t* edge_packed_aug,
     int32_t* ne_aug) {
   const auto* g = static_cast<const Graph*>(handle);
-  auto nodes_of = [&](int64_t b, const int64_t** nodes, int64_t* n) {
+  auto nodes_of = [&](int64_t b, const int32_t** nodes, int64_t* n) {
     int64_t i = idxs[b];
     *nodes = all_data + all_off[i];
     *n = all_off[i + 1] - all_off[i];
   };
-  return pack_compact_impl(g, nodes_of, batch, ln, epg, dropout_p, seed,
+  return pack_compact_impl<int32_t>(g, nodes_of, batch, ln, epg, dropout_p, seed,
                            node_ids, node_mask, edge_packed, ne,
                            edge_packed_aug, ne_aug);
 }

@@ -27,6 +27,10 @@ def main(argv=None) -> None:
                         "~20%% faster at 600K scale, token-identical output")
     args = p.parse_args(argv)
 
+    from medtok_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+
     import jax
 
     from medtok_tpu.data.dataset import MedCodeDataset

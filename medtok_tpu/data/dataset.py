@@ -47,6 +47,74 @@ def _pick_bucket(buckets: Sequence[int], needed: int) -> int:
     return buckets[-1]
 
 
+#: cumulative seconds inside the native text encode / the arena insert
+#: (diagnostics; read+reset by bench.py)
+TOK_STATS = {"encode_s": 0.0, "store_s": 0.0}
+
+
+class _TextStore:
+    """Tokenized-description store: one flat growable arena + per-row
+    (start, len) vectors.
+
+    The previous dict-of-arrays layout cost ~150+ bytes of python/numpy
+    object overhead per description — ~100 MB of object churn across the
+    600K-code vocabulary. On the VM class this runs on, fresh pages fault
+    at single-digit MB/s (hypervisor lazy-restore), so allocation volume IS
+    wall time: the arena stores ids as int16 when the vocab fits (bert-base
+    does) and touches ~13 MB total instead. ``get`` returns zero-copy views.
+    """
+
+    def __init__(self, n: int, vocab_size: int):
+        self.start = np.full(n, -1, np.int64)
+        self.length = np.zeros(n, np.int32)
+        self.dtype = np.int16 if vocab_size < 32768 else np.int32
+        self.arena = np.empty(1 << 16, self.dtype)
+        self.tail = 0
+
+    def __contains__(self, i: int) -> bool:
+        return bool(self.start[i] >= 0)
+
+    def missing(self, rows: np.ndarray) -> np.ndarray:
+        return rows[self.start[rows] < 0]
+
+    def get(self, i: int) -> np.ndarray:
+        s = self.start[i]
+        return self.arena[s:s + self.length[i]]
+
+    def _reserve(self, extra: int) -> None:
+        need = self.tail + extra
+        if need > len(self.arena):
+            arena = np.empty(max(need, 2 * len(self.arena)), self.dtype)
+            arena[: self.tail] = self.arena[: self.tail]
+            self.arena = arena
+
+    def put_flat(self, rows: np.ndarray, out: np.ndarray,
+                 lens: np.ndarray) -> None:
+        """Bulk insert from a [n, max_len] id matrix + per-row counts (the
+        native encode_batch_flat layout) — one boolean-mask extraction, no
+        per-row python."""
+        total = int(lens.sum())
+        self._reserve(total)
+        cols = np.arange(out.shape[1])
+        # row-major boolean extraction == rows concatenated in order
+        flat = out[cols[None, :] < lens[:, None]]
+        self.arena[self.tail:self.tail + total] = flat
+        starts = np.empty(len(lens), np.int64)
+        starts[0] = self.tail
+        np.cumsum(lens[:-1], out=starts[1:])
+        starts[1:] += self.tail
+        self.start[rows] = starts
+        self.length[rows] = lens
+        self.tail += total
+
+    def put_one(self, i: int, ids: np.ndarray) -> None:
+        self._reserve(len(ids))
+        self.arena[self.tail:self.tail + len(ids)] = ids
+        self.start[i] = self.tail
+        self.length[i] = len(ids)
+        self.tail += len(ids)
+
+
 class MedCodeDataset:
     """Loads the code vocab + KG and serves CodeSamples.
 
@@ -69,23 +137,25 @@ class MedCodeDataset:
         self.kg = kg if isinstance(kg, KnowledgeGraph) else KnowledgeGraph.from_csv(kg)
         self.df = pd.read_parquet(med_codes_pkg_map_path)
         self.tokenizer = tokenizer
-        self._text_cache: dict[int, np.ndarray] = {}
+        self._text = _TextStore(len(self.df), len(tokenizer.vocab))
+        self._descs: np.ndarray | None = None  # desc column, cached once
         self._graph_cache: dict[int, tuple] = {}
-        self._node_lists: list[np.ndarray] | None = None  # warm_cache()
         self._node_arena: np.ndarray | None = None        # warm_cache()
         self._node_arena_off: np.ndarray | None = None
         self._code_index: dict[str, int] | None = None  # lookup()
         # tokenized-description cache file (the reference pickles
         # med_code_descriptions.pkl once, dataset_creator.py:213-229)
         self._cache_file = (
-            Path(cache_dir) / "med_code_descriptions.pkl"
+            Path(cache_dir) / "med_code_descriptions.npz"
             if cache_dir is not None else None
         )
         if self._cache_file is not None and self._cache_file.exists():
-            import pickle
-
-            with open(self._cache_file, "rb") as f:
-                self._text_cache = pickle.load(f)
+            z = np.load(self._cache_file)
+            if len(z["start"]) == len(self.df):
+                self._text.start = z["start"]
+                self._text.length = z["length"]
+                self._text.arena = z["arena"].astype(self._text.dtype)
+                self._text.tail = len(z["arena"])
         # native C++ fast path (csrc/medtok_graph.cpp): subgraph extraction +
         # batch packing in one call; numpy fallback otherwise
         self.native = None
@@ -133,22 +203,35 @@ class MedCodeDataset:
             raise KeyError(f"unknown medical code {med_code!r}") from None
 
     def warm_cache(self, *, tokenize: bool = True) -> None:
-        """Bulk-materialize per-code node lists (single dataframe pass instead
-        of one iloc per sample) and optionally tokenize every description —
-        the host half of the full-vocab export sweep."""
+        """Bulk-materialize the per-code node-list arena (single dataframe
+        pass) and optionally tokenize every description — the host half of
+        the full-vocab export sweep.
+
+        Touch-minimal (this VM class faults fresh pages at MB/s rates, so
+        allocation volume IS wall time): ONE int32 arena written directly by
+        np.concatenate, a vectorized sortedness check, and per-row sorts only
+        for rows that actually violate order — the per-row python-loop
+        version cost ~10-25 s at vocab scale."""
         values = self.df["pkg_index_list"].to_numpy()
-        self._node_lists = [
-            np.sort(np.asarray(list(v), np.int64)) for v in values
-        ]
-        # arena view for the indexed native pack (zero per-batch python)
-        lens = np.fromiter((len(v) for v in self._node_lists), np.int64,
-                           len(self._node_lists))
-        self._node_arena_off = np.zeros(len(lens) + 1, np.int64)
-        np.cumsum(lens, out=self._node_arena_off[1:])
-        self._node_arena = (
-            np.concatenate(self._node_lists)
-            if self._node_arena_off[-1] > 0 else np.zeros(0, np.int64)
-        )
+        n = len(values)
+        lens = np.fromiter((len(v) for v in values), np.int64, n)
+        off = np.zeros(n + 1, np.int64)
+        np.cumsum(lens, out=off[1:])
+        total = int(off[-1])
+        arena = (np.concatenate(values, dtype=np.int32, casting="unsafe")
+                 if total else np.zeros(0, np.int32))
+        if total > 1:
+            bad = arena[1:] < arena[:-1]
+            bidx = off[1:-1] - 1        # row boundaries don't count
+            bad[bidx[bidx >= 0]] = False
+            if bad.any():
+                rows = np.unique(
+                    np.searchsorted(off, np.where(bad)[0] + 1, "right") - 1
+                )
+                for i in rows:
+                    arena[off[i]:off[i + 1]].sort()
+        self._node_arena_off = off
+        self._node_arena = arena
         if tokenize:
             self.tokenize_rows(range(len(self.df)))
 
@@ -158,41 +241,65 @@ class MedCodeDataset:
         the device compute of shard i (async dispatch)."""
         enc = self._encoder
         max_len = self.cfg.max_text_length
-        cache = self._text_cache
-        descs = self.df["desc"].to_numpy()
-        missing = [i for i in rows if i not in cache]
-        if missing and hasattr(enc, "encode_batch"):
-            # multithreaded C++ bulk path (GIL released for the batch)
-            encoded = enc.encode_batch(
-                [str(descs[i]) for i in missing], max_length=max_len
-            )
-            cache.update(zip(missing, encoded))
+        rows = np.asarray(rows, np.int64)
+        missing = self._text.missing(rows)
+        if missing.size == 0:
+            return
+        if self._descs is None:
+            self._descs = self.df["desc"].to_numpy()
+        descs = self._descs
+        texts = [str(descs[i]) for i in missing]
+        if hasattr(enc, "encode_batch_flat"):
+            # C++ bulk path (GIL released), matrix+lens out -> one
+            # vectorized arena insert
+            import time
+
+            t0 = time.perf_counter()
+            out, lens = enc.encode_batch_flat(texts, max_length=max_len)
+            t1 = time.perf_counter()
+            self._text.put_flat(missing, out, lens)
+            TOK_STATS["encode_s"] += t1 - t0
+            TOK_STATS["store_s"] += time.perf_counter() - t1
+        elif hasattr(enc, "encode_batch"):
+            for i, ids in zip(missing, enc.encode_batch(texts, max_length=max_len)):
+                self._text.put_one(int(i), ids)
         else:
-            for i in missing:
-                cache[i] = enc.encode(str(descs[i]), max_length=max_len)[0]
+            for i, t in zip(missing, texts):
+                self._text.put_one(int(i), enc.encode(t, max_length=max_len)[0])
 
     def save_text_cache(self) -> None:
         """Persist the tokenized descriptions (call after a full pass)."""
         if self._cache_file is None:
             return
-        import pickle
-
         self._cache_file.parent.mkdir(parents=True, exist_ok=True)
-        with open(self._cache_file, "wb") as f:
-            pickle.dump(self._text_cache, f)
+        t = self._text
+        np.savez(self._cache_file, start=t.start, length=t.length,
+                 arena=t.arena[: t.tail])
+
+    def text_lengths(self, lo: int, hi: int) -> np.ndarray:
+        """Token counts of rows [lo, hi) — vectorized from the text store
+        (rows must be tokenized already)."""
+        return self._text.length[lo:hi].astype(np.int64)
+
+    def node_counts(self, lo: int, hi: int) -> np.ndarray:
+        """Subgraph node counts of rows [lo, hi) — vectorized from the
+        warm-cache arena offsets."""
+        o = self._node_arena_off
+        return o[lo + 1:hi + 1] - o[lo:hi]
 
     def node_list(self, idx: int) -> np.ndarray:
-        if self._node_lists is not None:
-            return self._node_lists[idx]
+        if self._node_arena_off is not None:
+            o = self._node_arena_off
+            return self._node_arena[o[idx]:o[idx + 1]]
         return np.sort(np.asarray(list(self.df.iloc[idx]["pkg_index_list"]), np.int64))
 
     def text_ids(self, idx: int) -> np.ndarray:
-        if idx not in self._text_cache:
+        if idx not in self._text:
             ids, _ = self._encoder.encode(
                 str(self.df.iloc[idx]["desc"]), max_length=self.cfg.max_text_length
             )
-            self._text_cache[idx] = ids
-        return self._text_cache[idx]
+            self._text.put_one(idx, ids)
+        return self._text.get(idx)
 
     def batch_shapes(self, indices: Sequence[int]) -> tuple[int, int, int]:
         """(Lt, Ln, Epg) buckets a batch of these codes needs. Used by the
@@ -284,6 +391,7 @@ class MedCodeDataset:
         *,
         aug_seed: int | None = None,
         force_shapes: tuple[int, int, int] | None = None,
+        want_text: bool = True,
     ):
         """Transfer-optimized batch: edges as one (src << 16) | dst int32 per
         edge + per-graph counts, written into POOLED native buffers (3x fewer
@@ -306,9 +414,9 @@ class MedCodeDataset:
             classic = self.make_batch(indices, aug_seed=aug_seed,
                                       force_shapes=(Lt, Ln, Epg))
             return _compress_classic(classic, Ln, Epg,
-                                     want_aug=aug_seed is not None)
+                                     want_aug=aug_seed is not None,
+                                     want_text=want_text)
 
-        texts = [self.text_ids(int(i)) for i in indices]
         p = self.cfg.edge_dropout_p if aug_seed is not None else 0.0
         want_aug = aug_seed is not None
 
@@ -337,21 +445,30 @@ class MedCodeDataset:
                 Epg = self.cfg.edge_buckets[bucket_i]
                 packed, entry = pack(Epg)
         B = len(indices)
-        # vectorized text fill (one concatenate + one flat scatter; the
-        # per-code slice-assign loop was ~4 ms at C=4096)
-        input_ids = np.full(B * Lt, self.tokenizer.pad_id, np.int32)
-        attention_mask = np.zeros(B * Lt, np.int32)
-        tl = np.fromiter((min(len(t), Lt) for t in texts), np.int64, B)
-        if B and tl.sum():
-            cum = np.concatenate([[0], np.cumsum(tl)[:-1]])
-            code_of = np.repeat(np.arange(B), tl)
-            within = np.arange(int(tl.sum())) - cum[code_of]
-            flat_pos = code_of * Lt + within
-            toks = np.concatenate([t[:Lt] for t in texts]) if len(texts) else []
-            input_ids[flat_pos] = toks
-            attention_mask[flat_pos] = 1
-        input_ids = input_ids.reshape(B, Lt)
-        attention_mask = attention_mask.reshape(B, Lt)
+        if want_text:
+            texts = [self.text_ids(int(i)) for i in indices]
+            # vectorized text fill (one concatenate + one flat scatter; the
+            # per-code slice-assign loop was ~4 ms at C=4096)
+            input_ids = np.full(B * Lt, self.tokenizer.pad_id, np.int32)
+            attention_mask = np.zeros(B * Lt, np.int32)
+            tl = np.fromiter((min(len(t), Lt) for t in texts), np.int64, B)
+            if B and tl.sum():
+                cum = np.concatenate([[0], np.cumsum(tl)[:-1]])
+                code_of = np.repeat(np.arange(B), tl)
+                within = np.arange(int(tl.sum())) - cum[code_of]
+                flat_pos = code_of * Lt + within
+                toks = np.concatenate([t[:Lt] for t in texts]) if len(texts) else []
+                input_ids[flat_pos] = toks
+                attention_mask[flat_pos] = 1
+            input_ids = input_ids.reshape(B, Lt)
+            attention_mask = attention_mask.reshape(B, Lt)
+        else:
+            # quantizer-tail consumers (bench packed sweep, export packed
+            # path) never read the text fields — tokenize_from_hidden takes
+            # text as packed hidden states. [B, 0] keeps the pytree static
+            # and ships zero bytes.
+            input_ids = np.zeros((B, 0), np.int32)
+            attention_mask = np.zeros((B, 0), np.int32)
         return CompactCodeBatch(
             input_ids=input_ids, attention_mask=attention_mask,
             node_ids=packed["node_ids"], node_mask=packed["node_mask"],
@@ -363,11 +480,6 @@ class MedCodeDataset:
 
     def __getitem__(self, idx: int) -> CodeSample:
         row = self.df.iloc[idx]
-        if idx not in self._text_cache:
-            ids, _ = self._encoder.encode(
-                str(row["desc"]), max_length=self.cfg.max_text_length
-            )
-            self._text_cache[idx] = ids
         if idx not in self._graph_cache:
             nodes = np.sort(np.asarray(list(row["pkg_index_list"]), np.int64))
             src, dst, rel = self.kg.induced_subgraph(nodes)
@@ -375,7 +487,7 @@ class MedCodeDataset:
         nodes, src, dst, rel = self._graph_cache[idx]
         return CodeSample(
             index=idx, med_code=str(row["med_code"]),
-            input_ids=self._text_cache[idx],
+            input_ids=np.asarray(self.text_ids(idx), np.int32),
             nodes=nodes, edge_src=src, edge_dst=dst, rel=rel,
         )
 
@@ -387,7 +499,8 @@ class _NoopFence:
         pass
 
 
-def _compress_classic(classic, ln: int, epg: int, *, want_aug: bool):
+def _compress_classic(classic, ln: int, epg: int, *, want_aug: bool,
+                      want_text: bool = True):
     """CodeBatch -> (CompactCodeBatch, fence): numpy fallback used when the
     native library is unavailable. Classic edge slots are front-packed per
     graph (both the C++ packer and ``collate`` write real edges first), so
@@ -414,8 +527,10 @@ def _compress_classic(classic, ln: int, epg: int, *, want_aug: bool):
     else:
         edge_packed_aug, ne_aug = None, None
     return CompactCodeBatch(
-        input_ids=classic.input_ids,
-        attention_mask=classic.attention_mask,
+        input_ids=(classic.input_ids if want_text
+                   else np.zeros((B, 0), np.int32)),
+        attention_mask=(classic.attention_mask if want_text
+                        else np.zeros((B, 0), np.int32)),
         node_ids=classic.node_ids,
         node_mask=np.asarray(classic.node_mask, np.uint8),
         edge_packed=edge_packed, ne=ne,

@@ -62,7 +62,7 @@ def _load():
     ]
     lib.medtok_graph_pack_compact_idx.restype = ctypes.c_int64
     lib.medtok_graph_pack_compact_idx.argtypes = [
-        ctypes.c_void_p, i64p, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, i32p, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_double, ctypes.c_uint64,
         i32p, u8p, i32p, i32p, i32p, i32p,
     ]
@@ -80,6 +80,11 @@ def native_available() -> bool:
 
 def _ptr(arr: np.ndarray, ctype):
     return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+#: cumulative seconds spent blocked on transfer fences / in the native pack
+#: call (diagnostics; read+reset by bench.py to attribute host-phase time)
+STATS = {"fence_wait_s": 0.0, "pack_s": 0.0}
 
 
 class _PoolEntry:
@@ -106,7 +111,11 @@ class _PoolEntry:
 
     def wait(self) -> None:
         if self.fence is not None:
+            import time
+
+            t0 = time.perf_counter()
             self.fence.block_until_ready()
+            STATS["fence_wait_s"] += time.perf_counter() - t0
             self.fence = None
 
 
@@ -214,13 +223,23 @@ class NativeGraph:
             # first-touch page faults run at ~8 MB/s (measured 2.2 s for one
             # 17 MB tail-shape entry), and the first pool use happens in the
             # untimed precompile phase — paying all POOL_DEPTH entries there
-            # keeps the timed sweep at the ~37 ms warm-page pack cost
-            pool = []
-            for _ in range(self.POOL_DEPTH):
-                bufs = make()
-                for arr in bufs.values():
+            # keeps the timed sweep at the ~37 ms warm-page pack cost.
+            # Depth is size-aware: deeper pools on small shapes let the host
+            # run further ahead of the device (the backlog is what hides
+            # host tokenize/pack phases under device compute); huge tail
+            # shapes stay shallow to bound the pre-fault + memory cost.
+            probe = make()
+            entry_bytes = sum(a.nbytes for a in probe.values())
+            depth = int(min(
+                max(self.POOL_DEPTH, (32 << 20) // max(entry_bytes, 1)),
+                32,
+            ))
+            pool = [_PoolEntry(probe)]
+            for _ in range(depth - 1):
+                pool.append(_PoolEntry(make()))
+            for e in pool:
+                for arr in e.bufs.values():
                     arr.fill(0)
-                pool.append(_PoolEntry(bufs))
             self._pools[key] = pool
         i = self._pool_next.get(key, 0)
         self._pool_next[key] = (i + 1) % len(pool)
@@ -248,6 +267,9 @@ class NativeGraph:
         """
         if ln > 32768:
             raise ValueError(f"ln={ln} exceeds the 15-bit compact src limit")
+        import time
+
+        t0 = time.perf_counter()
         B = len(node_lists)
         node_off = np.zeros(B + 1, np.int64)
         for i, nl in enumerate(node_lists):
@@ -274,6 +296,7 @@ class NativeGraph:
             _ptr(b["edge_packed_aug"], ctypes.c_int32),
             _ptr(b["ne_aug"], ctypes.c_int32),
         )
+        STATS["pack_s"] += time.perf_counter() - t0
         return self._compact_out(b, truncated, B, ln, want_aug), entry
 
     @staticmethod
@@ -311,7 +334,7 @@ class NativeGraph:
 
     def pack_batch_compact_idx(
         self,
-        arena_data: np.ndarray,   # [total] int64, all node lists concatenated
+        arena_data: np.ndarray,   # [total] int32, all node lists concatenated
         arena_off: np.ndarray,    # [N + 1] int64
         indices: np.ndarray,      # [B] int64 vocab rows to pack
         *,
@@ -332,8 +355,13 @@ class NativeGraph:
         key = (B, ln, epg, bool(want_aug))
         entry = self._acquire(key, self._compact_bufs(B, ln, B * epg, want_aug))
         b = entry.bufs
+        if arena_data.dtype != np.int32:
+            raise TypeError("arena_data must be int32 (warm_cache builds it)")
+        import time
+
+        t0 = time.perf_counter()
         truncated = self._lib.medtok_graph_pack_compact_idx(
-            self._handle, _ptr(arena_data, ctypes.c_int64),
+            self._handle, _ptr(arena_data, ctypes.c_int32),
             _ptr(arena_off, ctypes.c_int64), _ptr(idxs, ctypes.c_int64),
             B, ln, epg, float(dropout_p), int(seed) & (2**64 - 1),
             _ptr(b["node_ids"], ctypes.c_int32),
@@ -343,4 +371,5 @@ class NativeGraph:
             _ptr(b["edge_packed_aug"], ctypes.c_int32),
             _ptr(b["ne_aug"], ctypes.c_int32),
         )
+        STATS["pack_s"] += time.perf_counter() - t0
         return self._compact_out(b, truncated, B, ln, want_aug), entry

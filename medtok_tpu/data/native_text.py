@@ -99,16 +99,19 @@ class NativeWordPiece:
             mask = np.concatenate([mask, np.zeros(pad, np.int32)])
         return ids, mask
 
-    def encode_batch(
+    def encode_batch_flat(
         self, texts: list[str], *, max_length: int = 512, num_threads: int = 0
-    ) -> list[np.ndarray]:
+    ) -> tuple[np.ndarray, np.ndarray]:
         """Multithreaded bulk encode (the 600K-description sweep's host hot
-        spot). ctypes releases the GIL for the whole batch; the C++ thread
-        pool splits texts into dynamic chunks. Non-ASCII texts are re-encoded
+        spot) returning the raw (ids [n, max_length] int32, lens [n]) matrix
+        — no per-text array objects (600K tiny arrays cost ~100 MB of object
+        churn, and this VM class faults fresh pages at MB/s rates). ctypes
+        releases the GIL for the whole batch; the C++ thread pool splits
+        texts into dynamic chunks. Non-ASCII texts are re-encoded in place
         via the Python fallback — output is identical to per-text encode()."""
         n = len(texts)
         if n == 0:
-            return []
+            return np.zeros((0, max_length), np.int32), np.zeros(0, np.int64)
         raws: list[bytes] = []
         for t in texts:
             try:
@@ -120,22 +123,29 @@ class NativeWordPiece:
         blob = b"".join(raws)
         out = np.empty((n, max_length), np.int32)
         lens = np.empty(n, np.int64)
-        self._lib.medtok_wp_encode_batch(
+        rejects = self._lib.medtok_wp_encode_batch(
             self._handle, blob,
             offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             max_length, num_threads,
         )
-        results: list[np.ndarray] = []
-        for i in range(n):
-            if lens[i] < 0:
-                results.append(
-                    self.py.encode(texts[i], max_length=max_length)[0]
-                )
-            else:
-                results.append(out[i, : lens[i]].copy())
-        return results
+        if rejects:
+            for i in np.where(lens < 0)[0]:
+                ids = self.py.encode(texts[i], max_length=max_length)[0]
+                out[i, : len(ids)] = ids
+                lens[i] = len(ids)
+        return out, lens
+
+    def encode_batch(
+        self, texts: list[str], *, max_length: int = 512, num_threads: int = 0
+    ) -> list[np.ndarray]:
+        """Bulk encode as a list of per-text id arrays (compat surface over
+        encode_batch_flat)."""
+        out, lens = self.encode_batch_flat(
+            texts, max_length=max_length, num_threads=num_threads
+        )
+        return [out[i, : lens[i]].copy() for i in range(len(texts))]
 
     # delegate the token-id surface the dataset uses
     @property

@@ -191,11 +191,14 @@ def synthetic_vocab_frame(
         r = rng.random(num_codes)
         sizes = np.where(r < 0.12, rng.integers(17, 129, num_codes), sizes)
         sizes = np.where(r < 0.03, rng.integers(129, 513, num_codes), sizes)
-    starts = rng.integers(0, max(num_kg_nodes - max_pkg_nodes, 1), num_codes)
-    # contiguous node runs with a random stride: unique, sorted, cheap to draw
+    # contiguous node runs with a random stride: unique, SORTED (no modulo
+    # wrap — warm_cache's vectorized sortedness check then skips the keyed
+    # re-sort for the whole vocabulary), cheap to draw
     strides = rng.integers(1, 5, num_codes)
+    span = np.maximum(num_kg_nodes - strides * (sizes - 1), 1)
+    starts = (rng.random(num_codes) * span).astype(np.int64)
     pkg = [
-        (starts[i] + strides[i] * np.arange(sizes[i])) % num_kg_nodes
+        starts[i] + strides[i] * np.arange(sizes[i])
         for i in range(num_codes)
     ]
     return pd.DataFrame({

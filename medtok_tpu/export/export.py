@@ -238,7 +238,7 @@ def _export_all_packed(
         lens_m = np.concatenate(
             [lens_np, np.repeat(lens_np[-1:], cmax - len(group))])
         batch, fence = dataset.make_batch_compact(
-            [int(x) for x in idxs], aug_seed=None
+            [int(x) for x in idxs], aug_seed=None, want_text=False
         )
         if quant_step is None:
             quant_step = quant_jit_for(batch)

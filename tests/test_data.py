@@ -243,10 +243,10 @@ def test_text_cache_persistence(kg_files, tokenizer, tmp_path):
                         tokenizer, cfg=cfg, cache_dir=tmp_path)
     ids_first = ds.text_ids(3).copy()
     ds.save_text_cache()
-    assert (tmp_path / "med_code_descriptions.pkl").exists()
+    assert (tmp_path / "med_code_descriptions.npz").exists()
     ds2 = MedCodeDataset(kg_files / "kg.csv", kg_files / "codes.parquet",
                          tokenizer, cfg=cfg, cache_dir=tmp_path)
-    assert 3 in ds2._text_cache
+    assert 3 in ds2._text  # restored without re-encoding
     np.testing.assert_array_equal(ds2.text_ids(3), ids_first)
 
 
