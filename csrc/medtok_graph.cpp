@@ -10,6 +10,7 @@
 // C ABI for ctypes; no Python dependencies.
 
 #include <algorithm>
+#include <type_traits>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -281,14 +282,22 @@ int64_t medtok_graph_pack_batch(
 // if ln > 32768.
 namespace {
 
-// Shared body for the compact packers: NodesOf(b) -> (ptr, len).
-template <class NodeT, class NodesOf>
+// Shared body for the compact packers: NodesOf(b) -> (ptr, len). EdgeT /
+// Shift select the packed-edge encoding: int32 with (src << 16) | dst for
+// ln <= 32768, or uint16 with (src << 8) | dst for ln <= 256 — the local
+// indices fit 8 bits there, and halving edge bytes halves what the export
+// sweep ships over slow h2d links.
+template <class NodeT, class EdgeT, int Shift, class NodesOf>
 int64_t pack_compact_impl(
     const Graph* g, NodesOf nodes_of, int64_t batch, int64_t ln, int64_t epg,
     double dropout_p, uint64_t seed, int32_t* node_ids, uint8_t* node_mask,
-    int32_t* edge_packed, int32_t* ne, int32_t* edge_packed_aug,
+    EdgeT* edge_packed, int32_t* ne, EdgeT* edge_packed_aug,
     int32_t* ne_aug) {
-  if (ln > 32768) return -1;
+  // signed EdgeT must keep the sign bit clear: src < 2^(Shift-1)
+  constexpr int64_t kMaxLn =
+      std::is_signed<EdgeT>::value ? (int64_t{1} << (Shift - 1))
+                                   : (int64_t{1} << Shift);
+  if (ln > kMaxLn) return -1;
   const bool want_aug = edge_packed_aug != edge_packed;
 
   auto pack_range = [&](int64_t b0, int64_t b1, int64_t* out_truncated) {
@@ -315,19 +324,21 @@ int64_t pack_compact_impl(
       if (total > epg) truncated++;
       int64_t o = b * epg;
       for (int64_t e = 0; e < nedge; e++)
-        edge_packed[o + e] = (s[e] << 16) | d[e];
+        edge_packed[o + e] = static_cast<EdgeT>((s[e] << Shift) | d[e]);
       std::memset(edge_packed + o + nedge, 0,
-                  sizeof(int32_t) * (epg - nedge));
+                  sizeof(EdgeT) * (epg - nedge));
       ne[b] = static_cast<int32_t>(nedge);
       if (want_aug) {
         Rng rng(seed * 0x9E3779B97f4A7C15ULL + static_cast<uint64_t>(b));
         int64_t na = 0;
         for (int64_t e = 0; e < nedge; e++) {
           bool keep = dropout_p <= 0.0 || rng.uniform() > dropout_p;
-          if (keep) edge_packed_aug[o + na++] = (s[e] << 16) | d[e];
+          if (keep)
+            edge_packed_aug[o + na++] =
+                static_cast<EdgeT>((s[e] << Shift) | d[e]);
         }
         std::memset(edge_packed_aug + o + na, 0,
-                    sizeof(int32_t) * (epg - na));
+                    sizeof(EdgeT) * (epg - na));
         ne_aug[b] = static_cast<int32_t>(na);
       }
     }
@@ -372,9 +383,58 @@ int64_t medtok_graph_pack_compact(
     *nodes = node_data + node_off[b];
     *n = node_off[b + 1] - node_off[b];
   };
-  return pack_compact_impl<int64_t>(g, nodes_of, batch, ln, epg, dropout_p, seed,
-                           node_ids, node_mask, edge_packed, ne,
-                           edge_packed_aug, ne_aug);
+  return pack_compact_impl<int64_t, int32_t, 16>(
+      g, nodes_of, batch, ln, epg, dropout_p, seed, node_ids, node_mask,
+      edge_packed, ne, edge_packed_aug, ne_aug);
+}
+
+// Per-code induced-edge counts over [lo, hi) of the int32 node arena (no
+// edge output) — lets the export sweep sub-bucket codes by edge count so
+// padded edge buffers ship ~2x fewer bytes over slow h2d links. Node lists
+// are truncated to ln first (matching what a pack at that ln would emit).
+void medtok_graph_count_edges(const void* handle, const int32_t* all_data,
+                              const int64_t* all_off, int64_t lo, int64_t hi,
+                              int64_t ln, int32_t* out_counts) {
+  const auto* g = static_cast<const Graph*>(handle);
+  int64_t n_rows = hi - lo;
+  int64_t hw = 0;
+  if (const char* env = std::getenv("MEDTOK_PACK_THREADS")) hw = std::atoll(env);
+  if (hw <= 0) hw = std::thread::hardware_concurrency();
+  int64_t nt = std::min<int64_t>(hw ? hw : 1,
+                                 std::max<int64_t>(n_rows / 1024, 1));
+  auto count_range = [&](int64_t r0, int64_t r1) {
+    Stamp st;
+    st.ensure(g->num_nodes);
+    for (int64_t r = r0; r < r1; r++) {
+      int64_t i = lo + r;
+      const int32_t* nodes = all_data + all_off[i];
+      int64_t n = std::min(all_off[i + 1] - all_off[i], ln);
+      // stamp membership, then count CSR neighbors that are members
+      for (int64_t j = 0; j < n; j++) {
+        int64_t u = nodes[j];
+        if (u >= 0 && u < g->num_nodes) st.mark[u] = i;
+      }
+      int64_t c = 0;
+      for (int64_t j = 0; j < n; j++) {
+        int64_t u = nodes[j];
+        if (u < 0 || u >= g->num_nodes) continue;
+        for (int64_t p = g->indptr[u]; p < g->indptr[u + 1]; p++) {
+          if (st.mark[g->dst[p]] == i) c++;
+        }
+      }
+      out_counts[r] = static_cast<int32_t>(c);
+    }
+  };
+  if (nt <= 1) {
+    count_range(0, n_rows);
+    return;
+  }
+  std::vector<std::thread> threads;
+  threads.reserve(nt);
+  for (int64_t t = 0; t < nt; t++) {
+    threads.emplace_back(count_range, n_rows * t / nt, n_rows * (t + 1) / nt);
+  }
+  for (auto& th : threads) th.join();
 }
 
 // Indexed variant: node lists come from a PRE-CONCATENATED int32 arena
@@ -394,9 +454,135 @@ int64_t medtok_graph_pack_compact_idx(
     *nodes = all_data + all_off[i];
     *n = all_off[i + 1] - all_off[i];
   };
-  return pack_compact_impl<int32_t>(g, nodes_of, batch, ln, epg, dropout_p, seed,
-                           node_ids, node_mask, edge_packed, ne,
-                           edge_packed_aug, ne_aug);
+  return pack_compact_impl<int32_t, int32_t, 16>(
+      g, nodes_of, batch, ln, epg, dropout_p, seed, node_ids, node_mask,
+      edge_packed, ne, edge_packed_aug, ne_aug);
+}
+
+// STREAM edge encoding for big node buckets: dst-only uint16 stream plus a
+// per-node out-degree vector. The packer emits edges grouped by source node
+// (list order), so the src column is fully redundant given outdeg — the
+// consumer rebuilds src on device as searchsorted(cumsum(outdeg), e). At
+// 2 bytes/edge (+2 bytes/node) this halves what the heavy-tail export step
+// ships vs (src << 16) | dst int32 pairs; on this environment every shipped
+// byte also becomes retained host RSS in the transfer proxy, so bytes are
+// doubly expensive. Requires ln <= 65536 and epg <= 65535 (uint16 ranges).
+// Returns truncation count, or -1 on range violation.
+int64_t medtok_graph_pack_stream_idx(
+    const void* handle, const int32_t* all_data, const int64_t* all_off,
+    const int64_t* idxs, int64_t batch, int64_t ln, int64_t epg,
+    double dropout_p, uint64_t seed, int32_t* node_ids, uint8_t* node_mask,
+    uint16_t* outdeg, uint16_t* dst_stream, int32_t* ne,
+    uint16_t* outdeg_aug, uint16_t* dst_stream_aug, int32_t* ne_aug) {
+  if (ln > 65536 || epg > 65535) return -1;
+  const auto* g = static_cast<const Graph*>(handle);
+  const bool want_aug = dst_stream_aug != dst_stream;
+
+  auto pack_range = [&](int64_t b0, int64_t b1, int64_t* out_truncated) {
+    Stamp st;
+    st.ensure(g->num_nodes);
+    std::vector<int32_t> s(epg), d(epg);
+    int64_t truncated = 0;
+    for (int64_t b = b0; b < b1; b++) {
+      int64_t row = idxs[b];
+      const int32_t* nodes = all_data + all_off[row];
+      int64_t n = all_off[row + 1] - all_off[row];
+      int64_t n_keep = std::min(n, ln);
+      for (int64_t i = 0; i < n_keep; i++) {
+        node_ids[b * ln + i] = nodes[i];
+        node_mask[b * ln + i] = 1;
+      }
+      for (int64_t i = n_keep; i < ln; i++) {
+        node_ids[b * ln + i] = 0;
+        node_mask[b * ln + i] = 0;
+      }
+      int64_t total = subgraph_stamped(g, nodes, n_keep, b, st, s.data(),
+                                       d.data(), epg);
+      int64_t nedge = std::min(total, epg);
+      if (total > epg) truncated++;
+      std::memset(outdeg + b * ln, 0, sizeof(uint16_t) * ln);
+      for (int64_t e = 0; e < nedge; e++) {
+        outdeg[b * ln + s[e]]++;  // s is non-decreasing (src-grouped)
+        dst_stream[b * epg + e] = static_cast<uint16_t>(d[e]);
+      }
+      std::memset(dst_stream + b * epg + nedge, 0,
+                  sizeof(uint16_t) * (epg - nedge));
+      ne[b] = static_cast<int32_t>(nedge);
+      if (want_aug) {
+        Rng rng(seed * 0x9E3779B97f4A7C15ULL + static_cast<uint64_t>(b));
+        std::memset(outdeg_aug + b * ln, 0, sizeof(uint16_t) * ln);
+        int64_t na = 0;
+        for (int64_t e = 0; e < nedge; e++) {
+          bool keep = dropout_p <= 0.0 || rng.uniform() > dropout_p;
+          if (keep) {
+            outdeg_aug[b * ln + s[e]]++;
+            dst_stream_aug[b * epg + na++] = static_cast<uint16_t>(d[e]);
+          }
+        }
+        std::memset(dst_stream_aug + b * epg + na, 0,
+                    sizeof(uint16_t) * (epg - na));
+        ne_aug[b] = static_cast<int32_t>(na);
+      }
+    }
+    *out_truncated = truncated;
+  };
+
+  int64_t hw = 0;
+  if (const char* env = std::getenv("MEDTOK_PACK_THREADS")) hw = std::atoll(env);
+  if (hw <= 0) hw = std::thread::hardware_concurrency();
+  int64_t nt = std::min<int64_t>(hw ? hw : 1, std::max<int64_t>(batch / 64, 1));
+  if (nt <= 1) {
+    int64_t truncated = 0;
+    pack_range(0, batch, &truncated);
+    return truncated;
+  }
+  std::vector<int64_t> trunc(nt, 0);
+  std::vector<std::thread> threads;
+  threads.reserve(nt);
+  for (int64_t t = 0; t < nt; t++) {
+    int64_t b0 = batch * t / nt, b1 = batch * (t + 1) / nt;
+    threads.emplace_back(pack_range, b0, b1, &trunc[t]);
+  }
+  int64_t truncated = 0;
+  for (int64_t t = 0; t < nt; t++) {
+    threads[t].join();
+    truncated += trunc[t];
+  }
+  return truncated;
+}
+
+// uint16 edge encoding — (src << 8) | dst, requires ln <= 256. Halves the
+// edge bytes of the small/mid node buckets (the bulk of the vocabulary).
+int64_t medtok_graph_pack_compact16(
+    const void* handle, const int64_t* node_data, const int64_t* node_off,
+    int64_t batch, int64_t ln, int64_t epg, double dropout_p, uint64_t seed,
+    int32_t* node_ids, uint8_t* node_mask, uint16_t* edge_packed, int32_t* ne,
+    uint16_t* edge_packed_aug, int32_t* ne_aug) {
+  const auto* g = static_cast<const Graph*>(handle);
+  auto nodes_of = [&](int64_t b, const int64_t** nodes, int64_t* n) {
+    *nodes = node_data + node_off[b];
+    *n = node_off[b + 1] - node_off[b];
+  };
+  return pack_compact_impl<int64_t, uint16_t, 8>(
+      g, nodes_of, batch, ln, epg, dropout_p, seed, node_ids, node_mask,
+      edge_packed, ne, edge_packed_aug, ne_aug);
+}
+
+int64_t medtok_graph_pack_compact_idx16(
+    const void* handle, const int32_t* all_data, const int64_t* all_off,
+    const int64_t* idxs, int64_t batch, int64_t ln, int64_t epg,
+    double dropout_p, uint64_t seed, int32_t* node_ids, uint8_t* node_mask,
+    uint16_t* edge_packed, int32_t* ne, uint16_t* edge_packed_aug,
+    int32_t* ne_aug) {
+  const auto* g = static_cast<const Graph*>(handle);
+  auto nodes_of = [&](int64_t b, const int32_t** nodes, int64_t* n) {
+    int64_t i = idxs[b];
+    *nodes = all_data + all_off[i];
+    *n = all_off[i + 1] - all_off[i];
+  };
+  return pack_compact_impl<int32_t, uint16_t, 8>(
+      g, nodes_of, batch, ln, epg, dropout_p, seed, node_ids, node_mask,
+      edge_packed, ne, edge_packed_aug, ne_aug);
 }
 
 }  // extern "C"

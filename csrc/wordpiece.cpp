@@ -19,12 +19,27 @@
 #include <unordered_map>
 #include <vector>
 
+// Word-level memo: WordPiece is a pure function of the lowercased word, and
+// medical-code descriptions repeat a small vocabulary of words massively
+// (HF fast tokenizers keep the same cache). Memoizing word -> piece ids
+// turns the O(len^2) greedy substring search into one hash lookup for every
+// repeated word — ~10x on the 600K-description sweep, which matters doubly
+// on this VM class where host CPU is 1 core shared with the JAX runtime.
+// One memo per worker thread (thread_local), so no locks.
+namespace {
+struct WordMemo {
+  std::unordered_map<std::string, std::vector<int32_t>> map;
+  uint64_t owner_gen = ~uint64_t{0};  // reset when the vocab changes
+};
+}  // namespace
+
 namespace {
 
 struct Vocab {
   std::unordered_map<std::string, int32_t> map;
   int32_t unk = -1, cls = -1, sep = -1, pad = -1;
   int max_chars_per_word = 100;
+  uint64_t gen = 0;  // unique per build — keys the thread_local word memos
 };
 
 inline bool is_ascii_punct(unsigned char c) {
@@ -68,42 +83,53 @@ int64_t encode_one(const Vocab* v, const char* text, int64_t text_len,
   }
   flush();
 
-  // wordpiece greedy longest-match-first
+  // wordpiece greedy longest-match-first, memoized per word
+  thread_local WordMemo memo;
+  if (memo.owner_gen != v->gen) {
+    memo.map.clear();
+    memo.owner_gen = v->gen;
+  }
   std::string sub;
   for (const auto& w : words) {
-    if (static_cast<int>(w.size()) > v->max_chars_per_word) {
-      ids.push_back(v->unk);
+    auto mit = memo.map.find(w);
+    if (mit != memo.map.end()) {
+      ids.insert(ids.end(), mit->second.begin(), mit->second.end());
       continue;
     }
-    size_t start = 0;
     std::vector<int32_t> piece_ids;
-    bool ok = true;
-    while (start < w.size()) {
-      size_t stop = w.size();
-      int32_t found = -1;
-      while (start < stop) {
-        sub.clear();
-        if (start > 0) sub = "##";
-        sub.append(w, start, stop - start);
-        auto it = v->map.find(sub);
-        if (it != v->map.end()) {
-          found = it->second;
+    if (static_cast<int>(w.size()) > v->max_chars_per_word) {
+      piece_ids.push_back(v->unk);
+    } else {
+      size_t start = 0;
+      bool ok = true;
+      while (start < w.size()) {
+        size_t stop = w.size();
+        int32_t found = -1;
+        while (start < stop) {
+          sub.clear();
+          if (start > 0) sub = "##";
+          sub.append(w, start, stop - start);
+          auto it = v->map.find(sub);
+          if (it != v->map.end()) {
+            found = it->second;
+            break;
+          }
+          stop--;
+        }
+        if (found < 0) {
+          ok = false;
           break;
         }
-        stop--;
+        piece_ids.push_back(found);
+        start = stop;
       }
-      if (found < 0) {
-        ok = false;
-        break;
+      if (!ok) {
+        piece_ids.clear();
+        piece_ids.push_back(v->unk);
       }
-      piece_ids.push_back(found);
-      start = stop;
     }
-    if (ok) {
-      ids.insert(ids.end(), piece_ids.begin(), piece_ids.end());
-    } else {
-      ids.push_back(v->unk);
-    }
+    ids.insert(ids.end(), piece_ids.begin(), piece_ids.end());
+    memo.map.emplace(w, std::move(piece_ids));
   }
 
   // truncate to max_len-1 then append [SEP] (Python encode semantics)
@@ -122,7 +148,9 @@ extern "C" {
 
 // vocab_blob: '\n'-separated token strings, id = line index.
 void* medtok_wp_build(const char* vocab_blob, int64_t blob_len) {
+  static std::atomic<uint64_t> next_gen{1};
   auto* v = new Vocab();
+  v->gen = next_gen.fetch_add(1);
   int32_t id = 0;
   const char* p = vocab_blob;
   const char* end = vocab_blob + blob_len;

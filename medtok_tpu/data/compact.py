@@ -13,6 +13,7 @@ numpy inputs for tests.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from medtok_tpu.data.types import CodeBatch, CompactCodeBatch
@@ -50,12 +51,36 @@ def derive_packed_meta(flat_base, tlens, *, num_rows: int, row_len: int,
             gi.astype(jnp.int32), tm)
 
 
-def _expand(edge_packed, ne, batch: int):
+def _expand(edge_packed, ne, batch: int, outdeg=None):
     epg = edge_packed.shape[0] // batch
-    # ln <= 32768 (enforced at pack time) keeps the sign bit clear, so the
-    # arithmetic >> equals a logical shift
-    src = (edge_packed >> 16).astype(jnp.int32)
-    dst = (edge_packed & 0xFFFF).astype(jnp.int32)
+    if outdeg is not None:
+        # STREAM encoding (big node buckets): edge_packed is a uint16 dst
+        # stream, edges grouped by source node; src rebuilds from the
+        # per-node out-degrees — src_e = #{j : cum[j] <= e} with
+        # cum = exclusive cumsum(outdeg). vmapped searchsorted lowers to a
+        # log2(Ln)-step gather scan (no [B, epg, Ln] materialization).
+        dst = jnp.asarray(edge_packed).astype(jnp.int32)
+        od = jnp.asarray(outdeg).astype(jnp.int32)      # [B, Ln]
+        cum = jnp.cumsum(od, axis=1)                    # inclusive
+        e_iota = jnp.arange(epg, dtype=jnp.int32)
+        src = jax.vmap(
+            lambda c: jnp.searchsorted(c, e_iota, side="right")
+        )(cum).astype(jnp.int32)
+        # padding slots (e >= ne) fall past the last cumsum step — zero
+        # them to match the classic packed layout exactly
+        src = jnp.where(e_iota[None, :] < ne[:, None], src, 0)
+        src = jnp.minimum(src, od.shape[1] - 1).reshape(-1)
+        dst = dst.reshape(-1)
+    else:
+        # int32 edges carry (src << 16) | dst (ln <= 32768 keeps the sign
+        # bit clear, so the arithmetic >> equals a logical shift); uint16
+        # edges carry (src << 8) | dst for ln <= 256 buckets
+        if edge_packed.dtype == jnp.uint16:
+            e = edge_packed.astype(jnp.int32)
+            src, dst = e >> 8, e & 0xFF
+        else:
+            src = (edge_packed >> 16).astype(jnp.int32)
+            dst = (edge_packed & 0xFFFF).astype(jnp.int32)
     slot = jnp.arange(epg, dtype=jnp.int32)
     valid = slot[None, :] < ne[:, None]          # [B, epg]; edges front-packed
     weight = valid.reshape(-1).astype(jnp.float32)
@@ -66,18 +91,21 @@ def unpack_compact(cb: CompactCodeBatch) -> CodeBatch:
     """Rebuild the classic CodeBatch. Aug fields of None (eval/export) alias
     the main edge arrays, mirroring the classic aliased-aug eval batch."""
     B = cb.node_ids.shape[0]
-    src, dst, w = _expand(jnp.asarray(cb.edge_packed), jnp.asarray(cb.ne), B)
+    src, dst, w = _expand(jnp.asarray(cb.edge_packed), jnp.asarray(cb.ne), B,
+                          outdeg=cb.outdeg)
     if cb.edge_packed_aug is None:
         src_a, dst_a, w_a = src, dst, w
     else:
         src_a, dst_a, w_a = _expand(
-            jnp.asarray(cb.edge_packed_aug), jnp.asarray(cb.ne_aug), B
+            jnp.asarray(cb.edge_packed_aug), jnp.asarray(cb.ne_aug), B,
+            outdeg=cb.outdeg_aug,
         )
     return CodeBatch(
         input_ids=cb.input_ids,
         attention_mask=cb.attention_mask,
         node_ids=cb.node_ids,
-        node_mask=jnp.asarray(cb.node_mask).astype(bool),
+        node_mask=(jnp.arange(cb.node_ids.shape[1], dtype=jnp.int32)[None, :]
+                   < jnp.asarray(cb.nn)[:, None]),
         edge_src=src, edge_dst=dst, edge_weight=w,
         edge_src_aug=src_a, edge_dst_aug=dst_a, edge_weight_aug=w_a,
         code_indices=cb.code_indices,

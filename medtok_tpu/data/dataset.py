@@ -40,6 +40,12 @@ class CodeSample:
     rel: np.ndarray
 
 
+# At-or-above this padded node count, make_batch_compact switches to the
+# STREAM edge encoding (uint16 dst + per-node out-degrees, 2 B/edge): the
+# big buckets' padded edge buffers dominate the export sweep's h2d bytes.
+STREAM_MIN_NODES = 128
+
+
 def _pick_bucket(buckets: Sequence[int], needed: int) -> int:
     for b in buckets:
         if needed <= b:
@@ -287,6 +293,15 @@ class MedCodeDataset:
         o = self._node_arena_off
         return o[lo + 1:hi + 1] - o[lo:hi]
 
+    def edge_counts(self, lo: int, hi: int, *, ln: int) -> np.ndarray | None:
+        """Induced-edge counts of rows [lo, hi) at node cap ``ln`` (native;
+        None when the native library or arena is unavailable)."""
+        if self.native is None or self._node_arena is None:
+            return None
+        return self.native.count_edges(
+            self._node_arena, self._node_arena_off, lo, hi, ln=ln
+        )
+
     def node_list(self, idx: int) -> np.ndarray:
         if self._node_arena_off is not None:
             o = self._node_arena_off
@@ -419,8 +434,33 @@ class MedCodeDataset:
 
         p = self.cfg.edge_dropout_p if aug_seed is not None else 0.0
         want_aug = aug_seed is not None
+        # big node buckets use the STREAM edge encoding (uint16 dst + per-
+        # node out-degrees, 2 B/edge): their padded edge buffers dominate
+        # the h2d bytes of the export sweep. The choice is a pure function
+        # of Ln, so jit program shapes stay stable across calls.
+        stream = Ln >= STREAM_MIN_NODES
+
+        def arena(self=self):
+            if self._node_arena is None:
+                # temp mini-arena so the idx entry points serve the
+                # no-warm-cache path too (same output, same dtype)
+                nodes = [np.asarray(self.node_list(int(i)), np.int32)
+                         for i in indices]
+                off = np.zeros(len(nodes) + 1, np.int64)
+                np.cumsum([len(x) for x in nodes], out=off[1:])
+                data = (np.concatenate(nodes) if off[-1]
+                        else np.zeros(0, np.int32))
+                return data, off, np.arange(len(nodes), dtype=np.int64)
+            return (self._node_arena, self._node_arena_off,
+                    np.asarray(indices, np.int64))
 
         def pack(epg):
+            if stream:
+                data, off, idx_a = arena()
+                return self.native.pack_batch_stream_idx(
+                    data, off, idx_a, ln=Ln, epg=epg,
+                    dropout_p=p, seed=aug_seed or 0, want_aug=want_aug,
+                )
             if self._node_arena is not None:
                 # arena-indexed native pack: no per-code python in the path
                 return self.native.pack_batch_compact_idx(
@@ -469,13 +509,24 @@ class MedCodeDataset:
             # and ships zero bytes.
             input_ids = np.zeros((B, 0), np.int32)
             attention_mask = np.zeros((B, 0), np.int32)
+        if self._node_arena_off is not None:
+            o = self._node_arena_off
+            idx_a = np.asarray(indices, np.int64)
+            nn = np.minimum(o[idx_a + 1] - o[idx_a], Ln).astype(np.int32)
+        else:
+            nn = np.minimum(
+                np.fromiter((len(self.node_list(int(i))) for i in indices),
+                            np.int64, B), Ln,
+            ).astype(np.int32)
         return CompactCodeBatch(
             input_ids=input_ids, attention_mask=attention_mask,
-            node_ids=packed["node_ids"], node_mask=packed["node_mask"],
+            node_ids=packed["node_ids"], nn=nn,
             edge_packed=packed["edge_packed"], ne=packed["ne"],
             edge_packed_aug=packed["edge_packed_aug"],
             ne_aug=packed["ne_aug"],
             code_indices=np.asarray(indices, np.int32),
+            outdeg=packed.get("outdeg"),
+            outdeg_aug=packed.get("outdeg_aug"),
         ), entry
 
     def __getitem__(self, idx: int) -> CodeSample:
@@ -532,7 +583,8 @@ def _compress_classic(classic, ln: int, epg: int, *, want_aug: bool,
         attention_mask=(classic.attention_mask if want_text
                         else np.zeros((B, 0), np.int32)),
         node_ids=classic.node_ids,
-        node_mask=np.asarray(classic.node_mask, np.uint8),
+        nn=np.asarray(classic.node_mask, np.int32).sum(axis=1,
+                                                       dtype=np.int32),
         edge_packed=edge_packed, ne=ne,
         edge_packed_aug=edge_packed_aug, ne_aug=ne_aug,
         code_indices=classic.code_indices,

@@ -60,6 +60,30 @@ def _load():
         ctypes.c_int64, ctypes.c_double, ctypes.c_uint64,
         i32p, u8p, i32p, i32p, i32p, i32p,
     ]
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    lib.medtok_graph_pack_compact_idx16.restype = ctypes.c_int64
+    lib.medtok_graph_pack_compact_idx16.argtypes = [
+        ctypes.c_void_p, i32p, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_double, ctypes.c_uint64,
+        i32p, u8p, u16p, i32p, u16p, i32p,
+    ]
+    lib.medtok_graph_pack_compact16.restype = ctypes.c_int64
+    lib.medtok_graph_pack_compact16.argtypes = [
+        ctypes.c_void_p, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_double, ctypes.c_uint64,
+        i32p, u8p, u16p, i32p, u16p, i32p,
+    ]
+    lib.medtok_graph_pack_stream_idx.restype = ctypes.c_int64
+    lib.medtok_graph_pack_stream_idx.argtypes = [
+        ctypes.c_void_p, i32p, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_double, ctypes.c_uint64,
+        i32p, u8p, u16p, u16p, i32p, u16p, u16p, i32p,
+    ]
+    lib.medtok_graph_count_edges.restype = None
+    lib.medtok_graph_count_edges.argtypes = [
+        ctypes.c_void_p, i32p, i64p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, i32p,
+    ]
     lib.medtok_graph_pack_compact_idx.restype = ctypes.c_int64
     lib.medtok_graph_pack_compact_idx.argtypes = [
         ctypes.c_void_p, i32p, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
@@ -228,11 +252,14 @@ class NativeGraph:
             # run further ahead of the device (the backlog is what hides
             # host tokenize/pack phases under device compute); huge tail
             # shapes stay shallow to bound the pre-fault + memory cost.
+            import os
+
             probe = make()
             entry_bytes = sum(a.nbytes for a in probe.values())
+            cap = int(os.environ.get("MEDTOK_POOL_DEPTH_CAP", 32))
             depth = int(min(
                 max(self.POOL_DEPTH, (32 << 20) // max(entry_bytes, 1)),
-                32,
+                cap,
             ))
             pool = [_PoolEntry(probe)]
             for _ in range(depth - 1):
@@ -280,20 +307,25 @@ class NativeGraph:
         )
         node_data = np.ascontiguousarray(node_data)
 
-        key = (B, ln, epg, bool(want_aug))
+        u16 = ln <= 256
+        edge_dtype = np.uint16 if u16 else np.int32
+        key = (B, ln, epg, bool(want_aug), u16)
         entry = self._acquire(
-            key, self._compact_bufs(B, ln, B * epg, want_aug)
+            key, self._compact_bufs(B, ln, B * epg, want_aug, edge_dtype)
         )
         b = entry.bufs
-        truncated = self._lib.medtok_graph_pack_compact(
+        fn = (self._lib.medtok_graph_pack_compact16 if u16
+              else self._lib.medtok_graph_pack_compact)
+        ect = ctypes.c_uint16 if u16 else ctypes.c_int32
+        truncated = fn(
             self._handle, _ptr(node_data, ctypes.c_int64),
             _ptr(node_off, ctypes.c_int64), B, ln, epg,
             float(dropout_p), int(seed) & (2**64 - 1),
             _ptr(b["node_ids"], ctypes.c_int32),
             _ptr(b["node_mask"], ctypes.c_uint8),
-            _ptr(b["edge_packed"], ctypes.c_int32),
+            _ptr(b["edge_packed"], ect),
             _ptr(b["ne"], ctypes.c_int32),
-            _ptr(b["edge_packed_aug"], ctypes.c_int32),
+            _ptr(b["edge_packed_aug"], ect),
             _ptr(b["ne_aug"], ctypes.c_int32),
         )
         STATS["pack_s"] += time.perf_counter() - t0
@@ -314,16 +346,17 @@ class NativeGraph:
             "truncated": int(truncated),
         }
 
-    def _compact_bufs(self, B: int, ln: int, e: int, want_aug: bool):
+    def _compact_bufs(self, B: int, ln: int, e: int, want_aug: bool,
+                      edge_dtype=np.int32):
         def make():
             bufs = {
                 "node_ids": np.empty(B * ln, np.int32),
                 "node_mask": np.empty(B * ln, np.uint8),
-                "edge_packed": np.empty(e, np.int32),
+                "edge_packed": np.empty(e, edge_dtype),
                 "ne": np.empty(B, np.int32),
             }
             if want_aug:
-                bufs["edge_packed_aug"] = np.empty(e, np.int32)
+                bufs["edge_packed_aug"] = np.empty(e, edge_dtype)
                 bufs["ne_aug"] = np.empty(B, np.int32)
             else:
                 bufs["edge_packed_aug"] = bufs["edge_packed"]
@@ -331,6 +364,89 @@ class NativeGraph:
             return bufs
 
         return make
+
+    def pack_batch_stream_idx(
+        self,
+        arena_data: np.ndarray,   # [total] int32 node arena (warm_cache)
+        arena_off: np.ndarray,    # [N + 1] int64
+        indices: np.ndarray,      # [B] int64 vocab rows to pack
+        *,
+        ln: int,
+        epg: int,
+        dropout_p: float = 0.0,
+        seed: int = 0,
+        want_aug: bool = False,
+    ) -> tuple[dict[str, np.ndarray], _PoolEntry]:
+        """STREAM-encoded compact pack (big node buckets): uint16 dst stream
+        + per-node uint16 out-degrees instead of (src, dst) pairs — 2 B/edge.
+        See csrc/medtok_graph.cpp::medtok_graph_pack_stream_idx."""
+        if ln > 65536 or epg > 65535:
+            raise ValueError(f"stream pack rejects ln={ln}/epg={epg}")
+        if arena_data.dtype != np.int32:
+            raise TypeError("arena_data must be int32 (warm_cache builds it)")
+        B = len(indices)
+        idxs = np.ascontiguousarray(indices, np.int64)
+        key = (B, ln, epg, bool(want_aug), "stream")
+        entry = self._acquire(key, self._stream_bufs(B, ln, B * epg, want_aug))
+        b = entry.bufs
+        import time
+
+        t0 = time.perf_counter()
+        truncated = self._lib.medtok_graph_pack_stream_idx(
+            self._handle, _ptr(arena_data, ctypes.c_int32),
+            _ptr(arena_off, ctypes.c_int64), _ptr(idxs, ctypes.c_int64),
+            B, ln, epg, float(dropout_p), int(seed) & (2**64 - 1),
+            _ptr(b["node_ids"], ctypes.c_int32),
+            _ptr(b["node_mask"], ctypes.c_uint8),
+            _ptr(b["outdeg"], ctypes.c_uint16),
+            _ptr(b["edge_packed"], ctypes.c_uint16),
+            _ptr(b["ne"], ctypes.c_int32),
+            _ptr(b["outdeg_aug"], ctypes.c_uint16),
+            _ptr(b["edge_packed_aug"], ctypes.c_uint16),
+            _ptr(b["ne_aug"], ctypes.c_int32),
+        )
+        STATS["pack_s"] += time.perf_counter() - t0
+        out = self._compact_out(b, truncated, B, ln, want_aug)
+        out["outdeg"] = b["outdeg"].reshape(B, ln)
+        out["outdeg_aug"] = b["outdeg_aug"].reshape(B, ln) if want_aug else None
+        return out, entry
+
+    def _stream_bufs(self, B: int, ln: int, e: int, want_aug: bool):
+        def make():
+            bufs = {
+                "node_ids": np.empty(B * ln, np.int32),
+                "node_mask": np.empty(B * ln, np.uint8),
+                "outdeg": np.empty(B * ln, np.uint16),
+                "edge_packed": np.empty(e, np.uint16),
+                "ne": np.empty(B, np.int32),
+            }
+            if want_aug:
+                bufs["outdeg_aug"] = np.empty(B * ln, np.uint16)
+                bufs["edge_packed_aug"] = np.empty(e, np.uint16)
+                bufs["ne_aug"] = np.empty(B, np.int32)
+            else:
+                bufs["outdeg_aug"] = bufs["outdeg"]
+                bufs["edge_packed_aug"] = bufs["edge_packed"]
+                bufs["ne_aug"] = bufs["ne"]
+            return bufs
+
+        return make
+
+    def count_edges(self, arena_data: np.ndarray, arena_off: np.ndarray,
+                    lo: int, hi: int, *, ln: int) -> np.ndarray:
+        """Induced-edge count per code in rows [lo, hi) of the warm-cache
+        arena, with node lists truncated to ``ln`` (what a pack at that ln
+        emits). Lets sweeps sub-bucket codes by edge count so padded edge
+        buffers ship ~2x fewer h2d bytes."""
+        if arena_data.dtype != np.int32:
+            raise TypeError("arena_data must be int32 (warm_cache builds it)")
+        out = np.empty(hi - lo, np.int32)
+        self._lib.medtok_graph_count_edges(
+            self._handle, _ptr(arena_data, ctypes.c_int32),
+            _ptr(arena_off, ctypes.c_int64), lo, hi, ln,
+            _ptr(out, ctypes.c_int32),
+        )
+        return out
 
     def pack_batch_compact_idx(
         self,
@@ -352,23 +468,32 @@ class NativeGraph:
             raise ValueError(f"ln={ln} exceeds the 15-bit compact src limit")
         B = len(indices)
         idxs = np.ascontiguousarray(indices, np.int64)
-        key = (B, ln, epg, bool(want_aug))
-        entry = self._acquire(key, self._compact_bufs(B, ln, B * epg, want_aug))
+        # uint16 (src << 8) | dst encoding when local indices fit 8 bits —
+        # halves the edge bytes the sweep ships over slow h2d links
+        u16 = ln <= 256
+        edge_dtype = np.uint16 if u16 else np.int32
+        key = (B, ln, epg, bool(want_aug), u16)
+        entry = self._acquire(
+            key, self._compact_bufs(B, ln, B * epg, want_aug, edge_dtype)
+        )
         b = entry.bufs
         if arena_data.dtype != np.int32:
             raise TypeError("arena_data must be int32 (warm_cache builds it)")
         import time
 
         t0 = time.perf_counter()
-        truncated = self._lib.medtok_graph_pack_compact_idx(
+        fn = (self._lib.medtok_graph_pack_compact_idx16 if u16
+              else self._lib.medtok_graph_pack_compact_idx)
+        ect = ctypes.c_uint16 if u16 else ctypes.c_int32
+        truncated = fn(
             self._handle, _ptr(arena_data, ctypes.c_int32),
             _ptr(arena_off, ctypes.c_int64), _ptr(idxs, ctypes.c_int64),
             B, ln, epg, float(dropout_p), int(seed) & (2**64 - 1),
             _ptr(b["node_ids"], ctypes.c_int32),
             _ptr(b["node_mask"], ctypes.c_uint8),
-            _ptr(b["edge_packed"], ctypes.c_int32),
+            _ptr(b["edge_packed"], ect),
             _ptr(b["ne"], ctypes.c_int32),
-            _ptr(b["edge_packed_aug"], ctypes.c_int32),
+            _ptr(b["edge_packed_aug"], ect),
             _ptr(b["ne_aug"], ctypes.c_int32),
         )
         STATS["pack_s"] += time.perf_counter() - t0

@@ -54,12 +54,22 @@ class CompactCodeBatch(NamedTuple):
     input_ids: jax.Array         # [B, Lt] int32
     attention_mask: jax.Array    # [B, Lt] int32
     node_ids: jax.Array          # [B, Ln] int32
-    node_mask: jax.Array         # [B, Ln] uint8 (cast to bool on device)
-    edge_packed: jax.Array       # [E] int32, (src << 16) | dst
+    nn: jax.Array                # [B] int32 real-node count (nodes are
+    #                              front-packed; mask rebuilt on device as
+    #                              iota < nn — ships B ints, not B*Ln bytes)
+    edge_packed: jax.Array       # [E] int32 (src << 16) | dst, uint16
+    #                              (src << 8) | dst for ln <= 256, or the
+    #                              uint16 dst-only STREAM when outdeg is set
     ne: jax.Array                # [B] int32 real-edge count per graph
-    edge_packed_aug: jax.Array | None   # [E] int32 or None (eval)
+    edge_packed_aug: jax.Array | None   # [E] or None (eval)
     ne_aug: jax.Array | None            # [B] int32 or None (eval)
     code_indices: jax.Array      # [B] int32
+    outdeg: jax.Array | None = None      # [B, Ln] uint16 per-node emitted
+    #                              out-degree; edges grouped by src, so src
+    #                              rebuilds on device as
+    #                              searchsorted(cumsum(outdeg), e) — the src
+    #                              column never crosses the link (2 B/edge)
+    outdeg_aug: jax.Array | None = None  # [B, Ln] uint16 or None
 
 
 class PackedTextBatch(NamedTuple):

@@ -119,9 +119,12 @@ def test_pool_recycles_and_fences(dataset):
 
     native = dataset.native
     idxs = list(range(8))
+    # first call creates the pool; read back its size-aware depth
+    compact0, entry0 = dataset.make_batch_compact(idxs, aug_seed=None)
+    (depth,) = {len(p) for p in native._pools.values() if entry0 in p}
+    assert depth >= native.POOL_DEPTH
     seen = set()
     fences = []
-    depth = native.POOL_DEPTH
     for i in range(depth + 2):
         compact, entry = dataset.make_batch_compact(idxs, aug_seed=None)
         ptr = compact.edge_packed.ctypes.data
@@ -129,7 +132,8 @@ def test_pool_recycles_and_fences(dataset):
         entry.set_fence(f)
         fences.append((ptr, f))
         seen.add(ptr)
-    # pool depth distinct buffers, then reuse
+    # pool-depth distinct buffers, then reuse (entry0 consumed slot 0, so
+    # this window of depth+2 calls revisits exactly depth distinct buffers)
     assert len(seen) == depth
     # the recycled entries' fences were awaited exactly once
     waited = [f.waited for _, f in fences]
@@ -156,3 +160,62 @@ def test_compact_arena_path_equals_classic(dataset):
         classic = dataset.make_batch(idxs, aug_seed=aug_seed)
         compact, _ = dataset.make_batch_compact(idxs, aug_seed=aug_seed)
         _assert_equiv(classic, compact)
+
+
+def test_count_edges_matches_packed_ne(dataset):
+    """count_edges == the ne the compact packer emits at an ample epg."""
+    ds = dataset
+    ds.warm_cache(tokenize=False)
+    if ds.native is None:
+        pytest.skip("native library unavailable")
+    n = min(len(ds), 64)
+    ln = max(ds.cfg.node_buckets)
+    counts = ds.edge_counts(0, n, ln=ln)
+    batch, _ = ds.make_batch_compact(
+        list(range(n)), aug_seed=None,
+        force_shapes=(ds.cfg.text_buckets[0], ln, 1 << 14), want_text=False,
+    )
+    np.testing.assert_array_equal(counts, batch.ne[:n])
+
+
+@pytest.mark.parametrize("aug_seed", [None, 7])
+def test_stream_encoding_equals_classic(dataset, aug_seed):
+    """Ln >= STREAM_MIN_NODES selects the uint16 dst-stream + outdeg
+    encoding; unpacked it must equal the classic batch exactly (both the
+    main and the edge-dropout-augmented views)."""
+    from medtok_tpu.data import dataset as dsmod
+
+    if dataset.native is None:
+        pytest.skip("native library unavailable")
+    idxs = list(range(16))
+    shp = (16, dsmod.STREAM_MIN_NODES, 512)
+    classic = dataset.make_batch(idxs, aug_seed=aug_seed, force_shapes=shp)
+    compact, fence = dataset.make_batch_compact(idxs, aug_seed=aug_seed,
+                                                force_shapes=shp)
+    assert compact.outdeg is not None          # stream path actually taken
+    assert compact.edge_packed.dtype == np.uint16
+    assert (compact.outdeg_aug is None) == (aug_seed is None)
+    _assert_equiv(classic, compact)
+    fence.set_fence(None)
+
+
+def test_stream_encoding_arena_path(dataset):
+    """Stream pack via the warm-cache arena == stream pack without it."""
+    from medtok_tpu.data import dataset as dsmod
+
+    if dataset.native is None:
+        pytest.skip("native library unavailable")
+    idxs = [5, 0, 11, 3]
+    shp = (16, dsmod.STREAM_MIN_NODES, 256)
+    dataset._node_arena = None
+    dataset._node_arena_off = None
+    cold, _ = dataset.make_batch_compact(idxs, aug_seed=3, force_shapes=shp)
+    dataset.warm_cache(tokenize=False)
+    warm, _ = dataset.make_batch_compact(idxs, aug_seed=3, force_shapes=shp)
+    for f in cold._fields:
+        a, b = getattr(cold, f), getattr(warm, f)
+        if a is None:
+            assert b is None, f
+        else:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=f)

@@ -217,3 +217,4 @@ def test_native_wordpiece_speed_sanity():
         fast.encode(t)
     t_c = time.perf_counter() - t0
     assert t_c < t_py  # native must not be slower
+
