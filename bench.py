@@ -537,30 +537,29 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
         2: (2048, 4096, EB[2]),
     }
 
+    # ONE fused jit per step: packed BERT + quantizer tail + checksum. The
     # text-side aux arrays (seg/pos [R, P], gather/mask [C, lmax]) are
-    # DERIVED ON DEVICE from two tiny per-code vectors (flat_base, tlens) —
-    # the host ships the int16 token rows + ~16 KB of metadata instead of
-    # ~1.6 MB/step of index arrays (data/compact.py::derive_packed_meta)
+    # DERIVED ON DEVICE from one tiny [2, C] (flat_base, tlens) matrix —
+    # the host ships the int16 token rows + ~32 KB of metadata instead of
+    # ~1.6 MB/step of index arrays (data/compact.py::derive_packed_meta).
+    # Fusing bert+quant halves the per-step dispatches and transfers: on
+    # this environment every jit dispatch and h2d call round-trips a
+    # python transfer proxy (~10-30 ms of stolen host CPU each under load).
     @jax.jit
-    def bert_step(params, ids, flat_base, tlens):
-        from medtok_tpu.data.compact import derive_packed_meta
+    def fused_step(carry, params, usage, ids, meta, cb):
+        from medtok_tpu.data.compact import derive_packed_meta, unpack_compact
         from medtok_tpu.models.tokenizer_model import MultimodalTokenizer
 
         R, P = ids.shape
+        flat_base, tlens = meta[0], meta[1]
         seg, pos, _, _ = derive_packed_meta(
             flat_base, tlens, num_rows=R, row_len=P, lmax=1
         )
         pm = (seg[:, :, None] == seg[:, None, :]) & (seg[:, :, None] > 0)
-        return model.apply(
+        flat = model.apply(
             {"params": params}, ids.astype(jnp.int32), pm, pos,
             method=MultimodalTokenizer.encode_text_packed,
         )
-
-    @jax.jit
-    def quant_step(carry, params, usage, flat, flat_base, tlens, cb):
-        from medtok_tpu.data.compact import derive_packed_meta, unpack_compact
-        from medtok_tpu.models.tokenizer_model import MultimodalTokenizer
-
         _, _, gidx, tmask = derive_packed_meta(
             flat_base, tlens, num_rows=1, row_len=1, lmax=LMAX
         )
@@ -612,30 +611,25 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
         print(f"[{time.perf_counter() - _note_t0:8.1f}s] {msg}",
               file=sys.stderr, flush=True)
 
-    flats = {}
     for bi in range(len(NB)):
         Rb = R_PER_NB[bi]
-        if Rb not in flats:
-            note(f"bench: compiling bert_step R={Rb}")
-            flats[Rb] = bert_step(
-                params, dummy_ids[:Rb],
-                jnp.minimum(dummy_base, Rb * P - 16), dummy_lens,
-            )
-            flats[Rb].block_until_ready()
         for C in C_PER_NB[bi]:
             for epg in EPG_SUB[bi]:
-                note(f"bench: compiling quant_step C={C} nb={NB[bi]} "
-                     f"epg={epg}")
+                note(f"bench: compiling fused_step R={Rb} C={C} "
+                     f"nb={NB[bi]} epg={epg}")
                 idxs = list(range(min(C, len(dataset))))
                 idxs = (idxs * (C // len(idxs) + 1))[:C]
                 b, fence = dataset.make_batch_compact(
                     idxs, aug_seed=None, force_shapes=forced(bi, epg),
                     want_text=False,
                 )
-                base_c = jnp.zeros((C,), jnp.int32)
-                lens_c = jnp.ones((C,), jnp.int32)
-                c = quant_step(jnp.zeros(()), params, usage, flats[Rb],
-                               base_c, lens_c, b)
+                meta = np.stack([
+                    np.minimum(np.arange(C, dtype=np.int32) * 16,
+                               Rb * P - 16),
+                    np.full(C, 8, np.int32),
+                ])
+                c = fused_step(jnp.zeros(()), params, usage,
+                               dummy_ids[:Rb], jnp.asarray(meta), b)
                 fence.set_fence(c)
                 float(c)
 
@@ -644,6 +638,15 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
     bounds = np.linspace(0, N_CODES, NSHARDS + 1).astype(np.int64)
     stats = _native_stats()
     stats["fence_wait_s"] = stats["pack_s"] = 0.0
+    # host-speed calibration: this VM's single core is shared with a python
+    # transfer proxy and the hypervisor's memory backend — identical runs
+    # measured 67-120 s wall depending on the window. A fixed python spin
+    # pins down the environment quality next to the headline number.
+    spin_t = time.perf_counter()
+    x = 0
+    for i in range(2_000_000):
+        x += i
+    host_spin_ms = (time.perf_counter() - spin_t) * 1e3
     t0 = time.perf_counter()
     dataset.warm_cache(tokenize=False)
     t_warm = time.perf_counter() - t0
@@ -673,21 +676,16 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
         npad = C - len(abs_idx)
         base_c = np.concatenate([base_np, np.repeat(base_np[-1:], npad)])
         lens_c = np.concatenate([lens_np, np.repeat(lens_np[-1:], npad)])
-        nmax = CMAX - len(abs_idx)
-        base_m = np.concatenate([base_np, np.repeat(base_np[-1:], nmax)])
-        lens_m = np.concatenate([lens_np, np.repeat(lens_np[-1:], nmax)])
+        meta = np.stack([base_c.astype(np.int32), lens_c.astype(np.int32)])
         tb = time.perf_counter()
         batch, fence = dataset.make_batch_compact(
             [int(x) for x in idxs], aug_seed=None,
             force_shapes=forced(bi, epg), want_text=False,
         )
         td = time.perf_counter()
-        flat = bert_step(
-            params, jnp.asarray(ids_np.astype(TDT)),
-            jnp.asarray(base_m), jnp.asarray(lens_m),
-        )
-        carry = quant_step(carry, params, usage, flat,
-                           jnp.asarray(base_c), jnp.asarray(lens_c), batch)
+        carry = fused_step(carry, params, usage,
+                           jnp.asarray(ids_np.astype(TDT)),
+                           jnp.asarray(meta), batch)
         fence.set_fence(carry)
         te = time.perf_counter()
         t_group += tp - tg
@@ -795,558 +793,6 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
                 tp = time.perf_counter()
                 launch_group([dataset.text_ids(int(a)) for a in abs_idx],
                              abs_idx, bi, subs[ei], tg, tp)
-    checksum = float(carry)  # blocks until the whole chained sweep finished
-    wall = time.perf_counter() - t0
-    assert np.isfinite(checksum)
-
-    emit_result(jax, jnp, wall, t_tok, checksum,
-                {"n_shards": NSHARDS, "batch": BATCH})
-
-
-# --------------------------------------------------------------- MFU -------
-# Model-FLOPs utilisation against v5e's 197 TFLOP/s bf16 peak. The FLOP model
-# counts the arithmetically dominant matmuls (2 FLOP/MAC):
-# - BERT: per token, num_layers * (qkvo 8H^2 + FFN 4HI + attention 4*L*H at
-#   the packed row length 128);
-# - VQ distance sweeps: per code (16/3)*N*D (two full-codebook shared sweeps
-#   + two N/3 region sweeps).
-# GCN/cross-attention are <1% of the total at these shapes and are omitted —
-# the reported MFU is therefore a slight UNDER-estimate. The fp32 distance
-# matmuls run at half the bf16 peak, which the single-peak denominator
-# deliberately ignores (documented in docs/PERF.md).
-
-V5E_BF16_PEAK = 197e12
-
-
-def _bert_flops_per_token(row_len: int = 128) -> float:
-    from medtok_tpu.config import ModelConfig
-
-    t = ModelConfig().text
-    H, I = t.hidden_size, t.intermediate_size
-    return t.num_layers * (8 * H * H + 4 * H * I + 4 * row_len * H)
-
-
-def _vq_flops_per_code() -> float:
-    from medtok_tpu.config import ModelConfig
-
-    q = ModelConfig().quantizer
-    return (16 / 3) * q.codebook_size * q.codebook_embed_dim
-
-
-def export_mfu(wall: float, bert_tokens: int, vq_codes: int):
-    import jax
-
-    if jax.default_backend() != "tpu":
-        return None
-    flops = bert_tokens * _bert_flops_per_token() + vq_codes * _vq_flops_per_code()
-    return round(flops / wall / (V5E_BF16_PEAK * jax.device_count()), 3)
-
-
-def train_throughput(jax, jnp) -> dict:
-    """Training-step throughput at the reference global batch (1024,
-    train_MedTok.py:387) on the visible chips — fwd+bwd through the full
-    model (frozen-BERT fwd, GCN/quantizer bwd, masked Adam). Texts are
-    realistic variable-length (8..30 tokens) padded to the 64 bucket, as a
-    SHUFFLED batch collates — which is what TrainConfig.packed_text
-    recovers: the packed variant is also timed."""
-    if jax.default_backend() != "tpu":
-        return {"train_check": "skipped (no tpu)"}
-    from medtok_tpu.config import MedTokConfig, ModelConfig, TrainConfig
-    from medtok_tpu.data.packing import pack_code_batch
-    from medtok_tpu.data.synthetic import random_code_batch
-    from medtok_tpu.models.tokenizer_model import MultimodalTokenizer
-    from medtok_tpu.parallel.mesh import make_mesh, shard_batch
-    from medtok_tpu.train.trainer import create_train_state, make_train_step
-
-    GB, LT = 1024, 64
-    mcfg = ModelConfig()
-    cfg = MedTokConfig(model=mcfg, train=TrainConfig(global_batch_size=GB))
-    ndev = jax.device_count()
-    mesh = make_mesh(dp=ndev, tp=1)
-    model = MultimodalTokenizer(mcfg, dp_axis="dp" if ndev > 1 else None)
-    rng = np.random.default_rng(5)
-    batch = random_code_batch(
-        rng, batch=GB, text_len=LT, max_nodes=16, max_edges_per_graph=32,
-        text_vocab=mcfg.text.vocab_size, num_kg_nodes=mcfg.graph.num_nodes,
-    )
-    ids = np.zeros((GB, LT), np.int32)
-    am = np.zeros((GB, LT), np.int32)
-    for b in range(GB):
-        n = int(rng.integers(8, 31))
-        ids[b, :n] = rng.integers(1, mcfg.text.vocab_size, n)
-        am[b, :n] = 1
-    batch = batch._replace(input_ids=jnp.asarray(ids),
-                           attention_mask=jnp.asarray(am))
-    batch = jax.tree.map(jnp.asarray, batch)
-    state = create_train_state(cfg, model, batch)
-    sb = shard_batch(mesh, batch)
-
-    rows = int(np.ceil(1.3 * am.sum() / ndev / 128))
-    packed = jax.tree.map(jnp.asarray, pack_code_batch(
-        ids, am, shards=ndev, rows_per_shard=rows, row_len=128,
-    ))
-    sp = shard_batch(mesh, packed)
-
-    out = {}
-    for name, mk in (("train_step_ms_b1024", False),
-                     ("train_packed_step_ms_b1024", True)):
-        step = make_train_step(cfg, model, mesh, donate=False, packed=mk)
-        args = (state, sb, sp) if mk else (state, sb)
-        _, m = step(*args)                      # compile + warm
-        float(jax.device_get(m["loss"]))
-        times = []
-        for trial in range(4):
-            t0 = time.perf_counter()
-            _, m = step(*args)
-            float(jax.device_get(m["loss"]))    # force
-            if trial:
-                times.append(time.perf_counter() - t0)
-        ms = 1e3 * min(times)
-        out[name] = round(ms, 1)
-        out[name.replace("step_ms", "codes_per_sec")] = round(GB / (ms / 1e3), 1)
-    out["train_pack_speedup"] = round(
-        out["train_step_ms_b1024"] / out["train_packed_step_ms_b1024"], 2
-    )
-    # model-FLOPs utilisation of the packed step: frozen BERT is fwd-only;
-    # VQ runs (16/3)ND main + (4/3)ND aug-specific sweeps per code, x3 for
-    # fwd+bwd (see the MFU note above — a slight under-estimate)
-    q = mcfg.quantizer
-    flops = (
-        rows * 128 * ndev * _bert_flops_per_token()
-        + GB * (20 / 3) * q.codebook_size * q.codebook_embed_dim * 3
-    )
-    out["mfu_train"] = round(
-        flops / (out["train_packed_step_ms_b1024"] / 1e3)
-        / (V5E_BF16_PEAK * ndev), 3,
-    )
-    return out
-
-
-def ehr_train_step(jax, jnp) -> dict:
-    """Full EHR pipeline train step at the REFERENCE shape: EHRModel
-    fwd+bwd+Adam at batch 256, code sequence 2000 (+3 specials), 4 encoder
-    layers, flash attention on (/root/reference/MedTok_EHR_Tutorial/
-    MedTok_EHR.py:56,78, EHRModel_token.py:212-247). The dense-attention
-    variant cannot run: its [256,4,2003,2003] score tensor is ~16 GB fp32,
-    over a v5e chip's HBM (documented, not timed)."""
-    if jax.default_backend() != "tpu":
-        return {"ehr_check": "skipped (no tpu)"}
-    from medtok_tpu.ehr.dataset import EHRBatch
-    from medtok_tpu.ehr.train import EHRTrainConfig, EHRTrainer
-
-    # 60K-row table: the jitted step bakes the frozen table in as a
-    # CONSTANT, and this dev tunnel rejects >~100MB program uploads
-    # (HTTP 413); per-step cost is a [B*C]-row gather — independent of
-    # table height, so the measurement is unaffected
-    B, C, V, VOCAB = 256, 2000, 100, 60_000
-    rng = np.random.default_rng(13)
-    table = rng.standard_normal((VOCAB, 256)).astype(np.float32)
-    n_codes = rng.integers(C // 4, C, B)
-    pad = np.arange(C)[None, :] >= n_codes[:, None]
-    batch = EHRBatch(
-        codes=rng.integers(0, VOCAB + 1, (B, C)).astype(np.int32),
-        visit_ids=np.minimum(
-            rng.integers(0, V, (B, C)), (np.arange(C)[None] // 20)
-        ).astype(np.int32),
-        pad_mask=pad,
-        gender=rng.integers(0, 2, B).astype(np.int32),
-        ethnicity=rng.integers(0, 4, B).astype(np.int32),
-        time_within=rng.integers(0, 24, (B, V, 3)).astype(np.int32),
-        time_between=rng.integers(0, 24, (B, V, 3)).astype(np.int32),
-        label_onehot=np.eye(2, dtype=np.float32)[rng.integers(0, 2, B)],
-        label_raw=rng.integers(0, 2, B).astype(np.int32),
-    )
-    import jax.numpy as _jnp
-
-    batch = jax.tree.map(_jnp.asarray, batch)
-    cfg = EHRTrainConfig(task="readmission", batch_size=B, max_medical_code=C)
-    trainer = EHRTrainer(cfg, table, num_class=2)
-    params, opt_state = trainer.init(batch)
-    rng_j = jax.random.PRNGKey(0)
-    out = trainer._train_step(params, opt_state, batch, rng_j)
-    float(jax.device_get(out[2]))          # compile + warm (loss)
-    times = []
-    for trial in range(4):
-        t0 = time.perf_counter()
-        out = trainer._train_step(params, opt_state, batch, rng_j)
-        float(jax.device_get(out[2]))
-        if trial:
-            times.append(time.perf_counter() - t0)
-    ms = 1e3 * min(times)
-    return {
-        "ehr_train_step_ms_b256": round(ms, 1),
-        "ehr_train_patients_per_sec": round(B / (ms / 1e3), 1),
-        "ehr_flash": bool(trainer.model.use_flash),
-        "ehr_shape": f"B={B} L={C + 3} layers={cfg.num_layers}",
-        "ehr_dense_note": "dense scores ~16GB fp32: does not fit HBM",
-    }
-
-
-def qa_finetune_step(jax, jnp) -> dict:
-    """QA LoRA finetune step (soft-prompt + Llama + masked CE + adamw over
-    LoRA/projector only) at the largest per-chip config: Llama-3.2-1B shape
-    in bf16 with remat, B=16, L=512 — the reference trains 8B at this batch
-    (MedTok_fintune_llama3.py:82-87); 8B itself needs tp=8, which the
-    one-chip bench cannot host — its memory fit is AOT-validated instead
-    (scripts/qa_8b_memory.py, tests/test_qa_8b_memory.py)."""
-    if jax.default_backend() != "tpu":
-        return {"qa_check": "skipped (no tpu)"}
-    from medtok_tpu.qa.finetune import QAFinetuneConfig, QAFinetuner
-    from medtok_tpu.qa.llama import LlamaConfig
-
-    cfg1b = LlamaConfig(
-        vocab_size=128256, hidden_size=2048, intermediate_size=8192,
-        num_layers=16, num_heads=32, num_kv_heads=8,
-        max_position_embeddings=8192, remat=True,
-    )
-    rng = np.random.default_rng(17)
-    # 60K-row table (not 600K): avoids this tunnel's program-upload limit —
-    # soft-prompt cost is a 256-slot gather + mean, independent of rows
-    table = rng.standard_normal((60_000, 256)).astype(np.float32)
-    qcfg = QAFinetuneConfig(lora_rank=16, cutoff_len=256, total_len=512,
-                            batch_size=16)
-    ft = QAFinetuner(cfg1b, table, qcfg)
-    params = ft.init_params(None)
-    # bf16 base (the production loading convention, convert_hf_llama
-    # dtype=bf16); LoRA/projector stay fp32
-    mask = ft.trainable_mask(params)
-    params = jax.tree.map(
-        lambda p, m: p if m or p.dtype != jnp.float32 else p.astype(jnp.bfloat16),
-        params, mask,
-    )
-    train_p, frozen_p = ft.split_params(params)
-    opt_state = ft.tx.init(train_p)
-    B, L, CL = qcfg.batch_size, qcfg.total_len, qcfg.cutoff_len
-    batch = {
-        # first cutoff_len slots: MedTok vocab ids; rest: LLM text tokens
-        "input_ids": np.concatenate([
-            rng.integers(0, 60_001, (B, CL)),
-            rng.integers(0, cfg1b.vocab_size, (B, L - CL)),
-        ], axis=1).astype(np.int32),
-        "attention_mask": np.ones((B, L), np.int32),
-        "labels": np.where(
-            rng.random((B, L - CL)) < 0.1,
-            rng.integers(0, cfg1b.vocab_size, (B, L - CL)), -100,
-        ).astype(np.int32),
-    }
-    train_p, opt_state, loss = ft._step(train_p, frozen_p, opt_state, batch)
-    float(jax.device_get(loss))
-    times = []
-    for trial in range(4):
-        t0 = time.perf_counter()
-        train_p, opt_state, loss = ft._step(train_p, frozen_p, opt_state, batch)
-        float(jax.device_get(loss))
-        if trial:
-            times.append(time.perf_counter() - t0)
-    ms = 1e3 * min(times)
-    return {
-        "qa_finetune_step_ms": round(ms, 1),
-        "qa_finetune_tokens_per_sec": round(B * L / (ms / 1e3), 1),
-        "qa_config": "llama-1B-shape bf16 remat, B=16 L=512, LoRA r=16",
-    }
-
-
-def emit_result(jax, jnp, wall, t_tok, checksum, extra) -> None:
-    # extras must never cost the headline metric (shared-pool flakiness)
-    kernel = {}
-    extras = (kernel_ab, flash_ab, train_throughput, ehr_train_step,
-              qa_finetune_step)
-    if os.environ.get("MEDTOK_BENCH_EXTRAS", "1") == "0":
-        extras = ()
-    for fn in extras:
-        try:
-            kernel.update(fn(jax, jnp))
-        except Exception as e:
-            kernel[f"{fn.__name__}_error"] = f"{type(e).__name__}: {e}"[:200]
-    n_chips = jax.device_count()
-    codes_per_sec = N_CODES / wall
-    print(json.dumps({
-        "metric": "codes_per_sec_e2e_600k_tokenize_embed",
-        "value": round(codes_per_sec, 1),
-        "unit": "codes/s",
-        "vs_baseline": round(
-            codes_per_sec / (TARGET_CODES_PER_SEC_PER_CHIP * n_chips), 3
-        ),
-        "num_codes": N_CODES,
-        "wall_s": round(wall, 2),
-        "tokenize_s": round(t_tok, 2),   # host-side; overlapped with device
-        "n_chips": n_chips,
-        "checksum": checksum,
-        **extra,
-        **kernel,
-    }))
-
-
-def _native_stats() -> dict:
-    try:
-        from medtok_tpu.data.native import STATS
-        return STATS
-    except Exception:
-        return {"fence_wait_s": 0.0, "pack_s": 0.0}
-
-
-def _tok_stats() -> dict:
-    from medtok_tpu.data.dataset import TOK_STATS
-    return TOK_STATS
-
-
-def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
-    """Sequence-packed export sweep (data/packing.py): descriptions share
-    fixed [R=256, P=128] BERT rows (ONE compiled text-encoder shape, zero
-    padding inside rows, MXU-shaped attention); the quantizer tail runs at
-    bucketed code counts. Returns the timed result dict.
-
-    Codes group by NODE bucket first (the vocab has a heavy subgraph tail:
-    ~9% at 17..128 nodes, ~3% at 129..512 — synthetic_vocab_frame
-    heavy_tail), then by text length within a bucket; every quantizer
-    program shape (Ct, node bucket) is pinned via force_shapes and compiled
-    before the clock starts."""
-    from medtok_tpu.data.packing import pack_texts_meta
-
-    R = int(os.environ.get("MEDTOK_BENCH_PACK_ROWS", 256))
-    P, LMAX = 128, 64
-    NB = dataset.cfg.node_buckets
-    EB = dataset.cfg.edge_buckets
-    # per-node-bucket code-count buckets: big-graph groups run at smaller
-    # batch (they are rare; huge C x 512-node programs would waste padding)
-    # rare buckets run at LARGE code counts: the per-step fixed cost (the
-    # [C, 21000] top-k sweeps) dominates small-C steps — measured 1.61
-    # ms/code at (C=128, Ln=512) vs 0.033 at (C=2048, Ln=16); amortizing the
-    # sweep over 512-2048 codes cuts the tail cost ~2-4x. BERT rows bound
-    # the group size (~10 tokens/code -> R=256 holds ~3000 codes), so only
-    # bucket 2 needs a reduced row budget.
-    C_PER_NB = {
-        0: (512, 768, 1024, 1536, 2048, 3072, 4096),
-        1: (2048,),
-        2: (512,),
-    }
-    R_PER_NB = {0: R, 1: R, 2: max(R // 4, 2)}
-    C_BUCKETS = C_PER_NB[0]
-    # edge-count sub-buckets (codes grouped by measured induced-edge count,
-    # native count_edges): padded [C * epg] edge buffers are what the sweep
-    # ships over the h2d link — measured pad waste at single-bucket epg was
-    # 87% / 50% / 59% per node bucket, and the link runs at tens of MB/s on
-    # a bad day. Sub-buckets cut shipped edge bytes ~2x; the last entry
-    # equals the classic edge bucket so truncation behavior is unchanged.
-    EPG_SUB = {
-        0: (8, EB[0]),
-        1: (256, 512, EB[1]),
-        2: (2048, 4096, EB[2]),
-    }
-
-    # text-side aux arrays (seg/pos [R, P], gather/mask [C, lmax]) are
-    # DERIVED ON DEVICE from two tiny per-code vectors (flat_base, tlens) —
-    # the host ships the int16 token rows + ~16 KB of metadata instead of
-    # ~1.6 MB/step of index arrays (data/compact.py::derive_packed_meta)
-    @jax.jit
-    def bert_step(params, ids, flat_base, tlens):
-        from medtok_tpu.data.compact import derive_packed_meta
-        from medtok_tpu.models.tokenizer_model import MultimodalTokenizer
-
-        R, P = ids.shape
-        seg, pos, _, _ = derive_packed_meta(
-            flat_base, tlens, num_rows=R, row_len=P, lmax=1
-        )
-        pm = (seg[:, :, None] == seg[:, None, :]) & (seg[:, :, None] > 0)
-        return model.apply(
-            {"params": params}, ids.astype(jnp.int32), pm, pos,
-            method=MultimodalTokenizer.encode_text_packed,
-        )
-
-    @jax.jit
-    def quant_step(carry, params, usage, flat, flat_base, tlens, cb):
-        from medtok_tpu.data.compact import derive_packed_meta, unpack_compact
-        from medtok_tpu.models.tokenizer_model import MultimodalTokenizer
-
-        _, _, gidx, tmask = derive_packed_meta(
-            flat_base, tlens, num_rows=1, row_len=1, lmax=LMAX
-        )
-        out = model.apply(
-            {"params": params, "usage": usage}, flat, gidx, tmask,
-            unpack_compact(cb),
-            method=MultimodalTokenizer.tokenize_from_hidden,
-        )
-        return (
-            carry
-            + jnp.sum(out.embedding)
-            + jnp.sum(out.tokens).astype(jnp.float32)
-            + jnp.sum(out.weights)
-        )
-
-    def c_bucket(n, bi):
-        for c in C_PER_NB[bi]:
-            if n <= c:
-                return c
-        return C_PER_NB[bi][-1]
-
-    def forced(bi, epg):
-        # Lt pinned at the smallest bucket: the quantizer tail never reads
-        # the CodeBatch text fields (text comes in as packed hidden states),
-        # so one program per (Ct, node-bucket, epg-sub-bucket) triple —
-        # nothing recompiles inside the timed region
-        return (dataset.cfg.text_buckets[0], NB[bi], epg)
-
-    # ---- precompile (outside the clock) ----
-    # the arena must exist here so precompile batches take the SAME native
-    # path (and edge dtype) as the timed sweep — otherwise the timed loop
-    # recompiles every (C, nb, epg) program. The timed section re-runs
-    # warm_cache so its cost stays measured.
-    dataset.warm_cache(tokenize=False)
-    rng = np.random.default_rng(2)
-    CMAX = max(max(v) for v in C_PER_NB.values())
-    TDT = np.int16 if model.cfg.text.vocab_size < 32768 else np.int32
-    dummy_ids = jnp.asarray(rng.integers(1, 100, (R, P)), TDT)
-    dummy_base = jnp.asarray(
-        np.minimum(np.arange(CMAX) * 16, R * P - 16), jnp.int32
-    )
-    dummy_lens = jnp.asarray(np.full(CMAX, 8), jnp.int32)
-    import sys
-
-    _note_t0 = time.perf_counter()
-
-    def note(msg):
-        # stdout carries ONE json line; stderr gets elapsed-stamped progress
-        print(f"[{time.perf_counter() - _note_t0:8.1f}s] {msg}",
-              file=sys.stderr, flush=True)
-
-    flats = {}
-    for bi in range(len(NB)):
-        Rb = R_PER_NB[bi]
-        if Rb not in flats:
-            note(f"bench: compiling bert_step R={Rb}")
-            flats[Rb] = bert_step(
-                params, dummy_ids[:Rb],
-                jnp.minimum(dummy_base, Rb * P - 16), dummy_lens,
-            )
-            flats[Rb].block_until_ready()
-        for C in C_PER_NB[bi]:
-            for epg in EPG_SUB[bi]:
-                note(f"bench: compiling quant_step C={C} nb={NB[bi]} "
-                     f"epg={epg}")
-                idxs = list(range(min(C, len(dataset))))
-                idxs = (idxs * (C // len(idxs) + 1))[:C]
-                b, fence = dataset.make_batch_compact(
-                    idxs, aug_seed=None, force_shapes=forced(bi, epg),
-                    want_text=False,
-                )
-                base_c = jnp.zeros((C,), jnp.int32)
-                lens_c = jnp.ones((C,), jnp.int32)
-                c = quant_step(jnp.zeros(()), params, usage, flats[Rb],
-                               base_c, lens_c, b)
-                fence.set_fence(c)
-                float(c)
-
-    # ---- TIMED ----
-    NSHARDS = int(os.environ.get("MEDTOK_BENCH_SHARDS", 8))
-    bounds = np.linspace(0, N_CODES, NSHARDS + 1).astype(np.int64)
-    stats = _native_stats()
-    stats["fence_wait_s"] = stats["pack_s"] = 0.0
-    t0 = time.perf_counter()
-    dataset.warm_cache(tokenize=False)
-    t_warm = time.perf_counter() - t0
-    carry = jnp.zeros((), jnp.float32)
-    t_tok = 0.0
-    t_group = 0.0       # group selection / padding index math
-    t_ptext = 0.0       # pack_texts (host python)
-    t_mkbatch = 0.0     # compact native pack
-    t_disp = 0.0        # jnp.asarray h2d + jit dispatch
-    n_steps = 0
-    n_big = 0
-    bert_tokens = 0
-    vq_codes = 0
-    for s in range(NSHARDS):
-        note(f"bench: shard {s}")
-        lo, hi = int(bounds[s]), int(bounds[s + 1])
-        tt = time.perf_counter()
-        enc0 = _tok_stats()["encode_s"]
-        dataset.tokenize_rows(range(lo, hi))
-        try:
-            with open("/proc/self/status") as f:
-                rss = next(int(ln.split()[1]) // 1024 for ln in f
-                           if ln.startswith("VmRSS"))
-        except Exception:
-            rss = -1
-        note(f"bench: shard {s} tokenized ({time.perf_counter() - tt:.1f}s, "
-             f"encode {_tok_stats()['encode_s'] - enc0:.1f}s, rss {rss}MB)")
-        texts = [dataset.text_ids(i) for i in range(lo, hi)]
-        lens = dataset.text_lengths(lo, hi)
-        nsizes = dataset.node_counts(lo, hi)
-        # induced-edge counts (one native pass; ln = last bucket, which
-        # equals every bucket's own cap for its codes) drive the epg
-        # sub-bucket choice below
-        ecounts = dataset.edge_counts(lo, hi, ln=int(NB[-1]))
-        t_tok += time.perf_counter() - tt
-        bucket_of = np.searchsorted(np.asarray(NB), nsizes)
-        bucket_of = np.minimum(bucket_of, len(NB) - 1)
-
-        for bi in range(len(NB)):
-            bsel = np.where(bucket_of == bi)[0]
-            if not len(bsel):
-                continue
-            n_big += len(bsel) if bi > 0 else 0
-            subs = EPG_SUB[bi]
-            if ecounts is None:
-                esub_of = np.full(len(bsel), len(subs) - 1)
-            else:
-                esub_of = np.minimum(
-                    np.searchsorted(np.asarray(subs), ecounts[bsel]),
-                    len(subs) - 1,
-                )
-            for ei in range(len(subs)):
-                sel = bsel[esub_of == ei]
-                if not len(sel):
-                    continue
-                order = sel[np.argsort(lens[sel], kind="stable")]
-                i = 0
-                while i < len(order):
-                    from medtok_tpu.data.packing import take_group
-
-                    tg = time.perf_counter()
-                    Rb = R_PER_NB[bi]
-                    j = take_group(lens, order, i, row_len=P, num_rows=Rb,
-                                   max_codes=C_PER_NB[bi][-1])
-                    group = order[i:j]
-                    i = j
-                    C = c_bucket(len(group), bi)
-                    pad = np.repeat(group[-1:], C - len(group))
-                    idxs = np.concatenate([group, pad]) + lo
-                    tp = time.perf_counter()
-                    ids_np, base_np, lens_np = pack_texts_meta(
-                        [texts[int(g)] for g in group], row_len=P,
-                        num_rows=Rb,
-                    )
-                    npad = C - len(group)
-                    base_c = np.concatenate(
-                        [base_np, np.repeat(base_np[-1:], npad)])
-                    lens_c = np.concatenate(
-                        [lens_np, np.repeat(lens_np[-1:], npad)])
-                    nmax = CMAX - len(group)
-                    base_m = np.concatenate(
-                        [base_np, np.repeat(base_np[-1:], nmax)])
-                    lens_m = np.concatenate(
-                        [lens_np, np.repeat(lens_np[-1:], nmax)])
-                    tb = time.perf_counter()
-                    batch, fence = dataset.make_batch_compact(
-                        [int(x) for x in idxs], aug_seed=None,
-                        force_shapes=forced(bi, subs[ei]), want_text=False,
-                    )
-                    td = time.perf_counter()
-                    flat = bert_step(
-                        params, jnp.asarray(ids_np.astype(TDT)),
-                        jnp.asarray(base_m), jnp.asarray(lens_m),
-                    )
-                    carry = quant_step(carry, params, usage, flat,
-                                       jnp.asarray(base_c),
-                                       jnp.asarray(lens_c), batch)
-                    fence.set_fence(carry)
-                    te = time.perf_counter()
-                    t_group += tp - tg
-                    t_ptext += tb - tp
-                    t_mkbatch += td - tb
-                    t_disp += te - td
-                    n_steps += 1
-                    bert_tokens += Rb * P
-                    vq_codes += C
     checksum = float(carry)
     wall = time.perf_counter() - t0
     assert np.isfinite(checksum)
@@ -1365,6 +811,7 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
             "tok_store": round(_tok_stats()["store_s"], 2),
         },
         "mfu_export": export_mfu(wall, bert_tokens, vq_codes),
+        "host_spin_ms": round(host_spin_ms, 1),
     }
 
 

@@ -71,6 +71,13 @@ class NativeWordPiece:
         blob = "\n".join(tok for tok, _ in inv).encode("utf-8")
         self._lib = lib
         self._handle = lib.medtok_wp_build(blob, len(blob))
+        # persistent grow-only output buffers: a 600K x 64 int32 out matrix
+        # is ~150 MB — glibc caps M_MMAP_THRESHOLD at 32 MB, so big numpy
+        # temps always mmap/munmap and re-fault every page on this
+        # slow-fault VM class (~19 s per full-vocab encode was the buffer,
+        # not the tokenizer)
+        self._out = np.empty(0, np.int32)
+        self._lens = np.empty(0, np.int64)
 
     def __del__(self):
         if getattr(self, "_handle", None):
@@ -121,8 +128,14 @@ class NativeWordPiece:
         offsets = np.zeros(n + 1, np.int64)
         np.cumsum([len(r) for r in raws], out=offsets[1:])
         blob = b"".join(raws)
-        out = np.empty((n, max_length), np.int32)
-        lens = np.empty(n, np.int64)
+        if self._out.size < n * max_length:
+            self._out = np.empty(
+                max(n * max_length, 2 * self._out.size), np.int32)
+        if self._lens.size < n:
+            self._lens = np.empty(max(n, 2 * self._lens.size), np.int64)
+        # NOTE: views into persistent buffers — valid until the next call
+        out = self._out[: n * max_length].reshape(n, max_length)
+        lens = self._lens[:n]
         rejects = self._lib.medtok_wp_encode_batch(
             self._handle, blob,
             offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n,
