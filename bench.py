@@ -174,16 +174,7 @@ def main() -> None:
     for s in range(NSHARDS):
         lo, hi = int(bounds[s]), int(bounds[s + 1])
         tt = time.perf_counter()
-        enc0 = _tok_stats()["encode_s"]
         dataset.tokenize_rows(range(lo, hi))
-        try:
-            with open("/proc/self/status") as f:
-                rss = next(int(ln.split()[1]) // 1024 for ln in f
-                           if ln.startswith("VmRSS"))
-        except Exception:
-            rss = -1
-        note(f"bench: shard {s} tokenized ({time.perf_counter() - tt:.1f}s, "
-             f"encode {_tok_stats()['encode_s'] - enc0:.1f}s, rss {rss}MB)")
         lens = np.fromiter(
             (len(dataset.text_ids(i)) for i in range(lo, hi)), np.int64,
             hi - lo,
@@ -519,7 +510,7 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
     # the group size (~10 tokens/code -> R=256 holds ~3000 codes), so only
     # bucket 2 needs a reduced row budget.
     C_PER_NB = {
-        0: (512, 768, 1024, 1536, 2048, 3072, 4096),
+        0: (512, 1024, 2048, 3072, 4096),
         1: (2048,),
         2: (512,),
     }
@@ -531,8 +522,11 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
     # 87% / 50% / 59% per node bucket, and the link runs at tens of MB/s on
     # a bad day. Sub-buckets cut shipped edge bytes ~2x; the last entry
     # equals the classic edge bucket so truncation behavior is unchanged.
+    # bucket 0's edge buffers are tiny after the uint16 encoding (~64 KB /
+    # step) — sub-bucketing it bought ~10 MB total but cost 5-7 extra
+    # compiled programs (each ~40-70 s through the remote-compile tunnel)
     EPG_SUB = {
-        0: (8, EB[0]),
+        0: (EB[0],),
         1: (256, 512, EB[1]),
         2: (2048, 4096, EB[2]),
     }
