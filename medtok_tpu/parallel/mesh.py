@@ -47,6 +47,30 @@ def initialize_distributed() -> None:
         pass  # already initialized or coordinator env incomplete
 
 
+def warmup_collectives() -> None:
+    """One-time cross-process collective-context init on a TINY program.
+
+    The CPU Gloo backend (and, less tightly, pod ICI setup) establishes its
+    context lazily at the FIRST collective execution, with a ~30 s connect
+    window. If that first collective is a fully-compiled train step, rank
+    compile skew (minutes on a contended host) blows the window
+    (DEADLINE_EXCEEDED: GetKeyValue cpu:gloo/...). Fix: align ranks at a
+    coordination-service KV barrier (gRPC to the coordinator — minutes-scale
+    timeout, no gloo) and then run a trivial sync collective, so the gloo
+    handshake sees near-zero skew. No-op single-process. Call after
+    initialize_distributed() and before any jitted collective."""
+    if jax.process_count() == 1:
+        return
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is not None:
+        client.wait_at_barrier("medtok_collective_warmup", 600_000)
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("medtok_collective_warmup")
+
+
 def make_mesh(dp: int = -1, tp: int = 1, devices=None) -> Mesh:
     """Build a (dp, tp) mesh. dp=-1 means 'all remaining devices'."""
     devices = list(devices if devices is not None else jax.devices())

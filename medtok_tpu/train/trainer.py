@@ -248,6 +248,13 @@ class Trainer:
         log_fn: Callable[[int, dict], None] | None = None,
     ):
         self.cfg = cfg
+        if jax.process_count() > 1:
+            # gloo/ICI context init on a tiny program BEFORE the train step's
+            # big compile — rank compile skew otherwise exceeds the backend's
+            # first-collective connect window (see mesh.warmup_collectives)
+            from medtok_tpu.parallel.mesh import warmup_collectives
+
+            warmup_collectives()
         self.mesh = mesh if mesh is not None else make_mesh(cfg.train.mesh_dp, cfg.train.mesh_tp)
         tp = self.mesh.shape.get("tp", 1)
         if model is None:
