@@ -52,6 +52,42 @@ struct Rng {
   double uniform() { return (next() >> 11) * 0x1.0p-53; }
 };
 
+// Worker count for a batch-parallel loop. MEDTOK_PACK_THREADS overrides the
+// hardware-concurrency default (tests force the threaded path on 1-core
+// boxes; prod hosts can cap it); one thread below min_chunk items.
+inline int64_t pack_thread_count(int64_t items, int64_t min_chunk) {
+  int64_t hw = 0;
+  if (const char* env = std::getenv("MEDTOK_PACK_THREADS")) hw = std::atoll(env);
+  if (hw <= 0) hw = std::thread::hardware_concurrency();
+  return std::min<int64_t>(hw ? hw : 1,
+                           std::max<int64_t>(items / min_chunk, 1));
+}
+
+// Split [0, items) across threads running fn(b0, b1, &truncated_out);
+// returns the summed per-range truncation counts. The single shared body for
+// every packer's thread spawn/join/sum scaffolding.
+template <class Fn>
+int64_t run_truncating_ranges(int64_t items, int64_t min_chunk, Fn&& fn) {
+  int64_t nt = pack_thread_count(items, min_chunk);
+  if (nt <= 1) {
+    int64_t truncated = 0;
+    fn(0, items, &truncated);
+    return truncated;
+  }
+  std::vector<int64_t> trunc(nt, 0);
+  std::vector<std::thread> threads;
+  threads.reserve(nt);
+  for (int64_t t = 0; t < nt; t++) {
+    threads.emplace_back(fn, items * t / nt, items * (t + 1) / nt, &trunc[t]);
+  }
+  int64_t truncated = 0;
+  for (int64_t t = 0; t < nt; t++) {
+    threads[t].join();
+    truncated += trunc[t];
+  }
+  return truncated;
+}
+
 }  // namespace
 
 extern "C" {
@@ -241,30 +277,7 @@ int64_t medtok_graph_pack_batch(
     *out_truncated = truncated;
   };
 
-  // MEDTOK_PACK_THREADS overrides the hardware-concurrency default (tests
-  // force the threaded path on 1-core boxes; prod hosts can cap it).
-  int64_t hw = 0;
-  if (const char* env = std::getenv("MEDTOK_PACK_THREADS")) hw = std::atoll(env);
-  if (hw <= 0) hw = std::thread::hardware_concurrency();
-  int64_t nt = std::min<int64_t>(hw ? hw : 1, std::max<int64_t>(batch / 64, 1));
-  if (nt <= 1) {
-    int64_t truncated = 0;
-    pack_range(0, batch, &truncated);
-    return truncated;
-  }
-  std::vector<int64_t> trunc(nt, 0);
-  std::vector<std::thread> threads;
-  threads.reserve(nt);
-  for (int64_t t = 0; t < nt; t++) {
-    int64_t b0 = batch * t / nt, b1 = batch * (t + 1) / nt;
-    threads.emplace_back(pack_range, b0, b1, &trunc[t]);
-  }
-  int64_t truncated = 0;
-  for (int64_t t = 0; t < nt; t++) {
-    threads[t].join();
-    truncated += trunc[t];
-  }
-  return truncated;
+  return run_truncating_ranges(batch, 64, pack_range);
 }
 
 }  // extern "C"
@@ -345,28 +358,7 @@ int64_t pack_compact_impl(
     *out_truncated = truncated;
   };
 
-  int64_t hw = 0;
-  if (const char* env = std::getenv("MEDTOK_PACK_THREADS")) hw = std::atoll(env);
-  if (hw <= 0) hw = std::thread::hardware_concurrency();
-  int64_t nt = std::min<int64_t>(hw ? hw : 1, std::max<int64_t>(batch / 64, 1));
-  if (nt <= 1) {
-    int64_t truncated = 0;
-    pack_range(0, batch, &truncated);
-    return truncated;
-  }
-  std::vector<int64_t> trunc(nt, 0);
-  std::vector<std::thread> threads;
-  threads.reserve(nt);
-  for (int64_t t = 0; t < nt; t++) {
-    int64_t b0 = batch * t / nt, b1 = batch * (t + 1) / nt;
-    threads.emplace_back(pack_range, b0, b1, &trunc[t]);
-  }
-  int64_t truncated = 0;
-  for (int64_t t = 0; t < nt; t++) {
-    threads[t].join();
-    truncated += trunc[t];
-  }
-  return truncated;
+  return run_truncating_ranges(batch, 64, pack_range);
 }
 
 }  // namespace
@@ -397,12 +389,7 @@ void medtok_graph_count_edges(const void* handle, const int32_t* all_data,
                               int64_t ln, int32_t* out_counts) {
   const auto* g = static_cast<const Graph*>(handle);
   int64_t n_rows = hi - lo;
-  int64_t hw = 0;
-  if (const char* env = std::getenv("MEDTOK_PACK_THREADS")) hw = std::atoll(env);
-  if (hw <= 0) hw = std::thread::hardware_concurrency();
-  int64_t nt = std::min<int64_t>(hw ? hw : 1,
-                                 std::max<int64_t>(n_rows / 1024, 1));
-  auto count_range = [&](int64_t r0, int64_t r1) {
+  auto count_range = [&](int64_t r0, int64_t r1, int64_t* /*unused*/) {
     Stamp st;
     st.ensure(g->num_nodes);
     for (int64_t r = r0; r < r1; r++) {
@@ -425,16 +412,7 @@ void medtok_graph_count_edges(const void* handle, const int32_t* all_data,
       out_counts[r] = static_cast<int32_t>(c);
     }
   };
-  if (nt <= 1) {
-    count_range(0, n_rows);
-    return;
-  }
-  std::vector<std::thread> threads;
-  threads.reserve(nt);
-  for (int64_t t = 0; t < nt; t++) {
-    threads.emplace_back(count_range, n_rows * t / nt, n_rows * (t + 1) / nt);
-  }
-  for (auto& th : threads) th.join();
+  run_truncating_ranges(n_rows, 1024, count_range);
 }
 
 // Indexed variant: node lists come from a PRE-CONCATENATED int32 arena
@@ -527,28 +505,7 @@ int64_t medtok_graph_pack_stream_idx(
     *out_truncated = truncated;
   };
 
-  int64_t hw = 0;
-  if (const char* env = std::getenv("MEDTOK_PACK_THREADS")) hw = std::atoll(env);
-  if (hw <= 0) hw = std::thread::hardware_concurrency();
-  int64_t nt = std::min<int64_t>(hw ? hw : 1, std::max<int64_t>(batch / 64, 1));
-  if (nt <= 1) {
-    int64_t truncated = 0;
-    pack_range(0, batch, &truncated);
-    return truncated;
-  }
-  std::vector<int64_t> trunc(nt, 0);
-  std::vector<std::thread> threads;
-  threads.reserve(nt);
-  for (int64_t t = 0; t < nt; t++) {
-    int64_t b0 = batch * t / nt, b1 = batch * (t + 1) / nt;
-    threads.emplace_back(pack_range, b0, b1, &trunc[t]);
-  }
-  int64_t truncated = 0;
-  for (int64_t t = 0; t < nt; t++) {
-    threads[t].join();
-    truncated += trunc[t];
-  }
-  return truncated;
+  return run_truncating_ranges(batch, 64, pack_range);
 }
 
 // uint16 edge encoding — (src << 8) | dst, requires ln <= 256. Halves the

@@ -157,7 +157,12 @@ class MedCodeDataset:
         )
         if self._cache_file is not None and self._cache_file.exists():
             z = np.load(self._cache_file)
-            if len(z["start"]) == len(self.df):
+            # the astype below must not narrow: a cache written under a
+            # larger tokenizer vocab (int32 arena) would silently wrap ids
+            # > 32767 negative in an int16 store — re-tokenize instead
+            fits = (z["arena"].size == 0
+                    or int(z["arena"].max()) <= np.iinfo(self._text.dtype).max)
+            if len(z["start"]) == len(self.df) and fits:
                 self._text.start = z["start"]
                 self._text.length = z["length"]
                 self._text.arena = z["arena"].astype(self._text.dtype)
@@ -229,7 +234,10 @@ class MedCodeDataset:
         if total > 1:
             bad = arena[1:] < arena[:-1]
             bidx = off[1:-1] - 1        # row boundaries don't count
-            bad[bidx[bidx >= 0]] = False
+            # off==total when every trailing row is empty -> bidx==total-1,
+            # past the end of `bad` (length total-1); such a boundary has no
+            # successor pair to clear.
+            bad[bidx[(bidx >= 0) & (bidx < total - 1)]] = False
             if bad.any():
                 rows = np.unique(
                     np.searchsorted(off, np.where(bad)[0] + 1, "right") - 1
@@ -426,9 +434,15 @@ class MedCodeDataset:
         else:
             Lt, Ln, Epg = self.batch_shapes(indices)
         if self.native is None:
+            # pass the caller's force_shapes through UNCHANGED: pinning the
+            # precomputed (Lt, Ln, Epg) here would truncate edge-overflowing
+            # graphs where the native path grows the edge bucket (classic
+            # make_batch semantics) — fallback and native must pack alike.
             classic = self.make_batch(indices, aug_seed=aug_seed,
-                                      force_shapes=(Lt, Ln, Epg))
-            return _compress_classic(classic, Ln, Epg,
+                                      force_shapes=force_shapes)
+            ln_c = classic.node_ids.shape[1]
+            epg_c = classic.edge_weight.size // max(len(indices), 1)
+            return _compress_classic(classic, ln_c, epg_c,
                                      want_aug=aug_seed is not None,
                                      want_text=want_text)
 

@@ -201,7 +201,12 @@ def _export_all_packed(
                 out_shardings=rep,
             )
 
-        quant_step = None  # built lazily from the first batch's tree shape
+        # in_shardings must mirror the batch pytree, and make_batch_compact's
+        # tree STRUCTURE varies with the node bucket (outdeg is None below the
+        # stream threshold, an array at/above it) — so the jitted step is
+        # keyed by treedef, not built once from the first batch.
+        quant_steps: dict = {}
+        quant_step = None
 
     dataset.warm_cache(tokenize=True)
     texts = [dataset.text_ids(i) for i in range(n)]
@@ -240,8 +245,11 @@ def _export_all_packed(
         batch, fence = dataset.make_batch_compact(
             [int(x) for x in idxs], aug_seed=None, want_text=False
         )
-        if quant_step is None:
-            quant_step = quant_jit_for(batch)
+        if mesh is not None:
+            tdef = jax.tree.structure(batch)
+            quant_step = quant_steps.get(tdef)
+            if quant_step is None:
+                quant_step = quant_steps[tdef] = quant_jit_for(batch)
         flat = bert_step(jnp.asarray(ids_np.astype(np.dtype(tdt))),
                          jnp.asarray(base_m), jnp.asarray(lens_m))
         out = quant_step(flat, jnp.asarray(base_c), jnp.asarray(lens_c),

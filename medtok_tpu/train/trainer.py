@@ -344,10 +344,12 @@ class Trainer:
                         row_len=t.packed_row_len,
                     )
                 except ValueError as e:
-                    raise ValueError(
-                        f"{e} — raise TrainConfig.packed_rows_per_shard "
-                        f"(current {pack_rows})"
-                    ) from e
+                    if "rows" in str(e):  # row-budget overflow is fixable
+                        raise ValueError(
+                            f"{e} — raise TrainConfig.packed_rows_per_shard "
+                            f"(current {pack_rows})"
+                        ) from e
+                    raise  # e.g. batch not divisible by shards: not a budget issue
                 packed_b = shard_host_local_batch(
                     self.mesh, jax.tree.map(np.asarray, packed_np)
                 )

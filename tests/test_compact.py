@@ -219,3 +219,34 @@ def test_stream_encoding_arena_path(dataset):
         else:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                           err_msg=f)
+
+
+def test_fallback_grows_edge_bucket_like_native(dataset, monkeypatch):
+    """The numpy fallback of make_batch_compact must keep classic
+    make_batch's grow-on-truncation semantics: a batch whose induced edges
+    overflow the first edge bucket packs at the grown bucket on BOTH the
+    native and the native-less path (regression: the fallback used to pin
+    the precomputed shapes and silently truncate)."""
+    if dataset.native is None:
+        pytest.skip("native library unavailable")
+    # find a batch that actually overflows the first edge bucket
+    first_epg = dataset.cfg.edge_buckets[0]
+    idxs = None
+    for start in range(0, len(dataset) - 8):
+        cand = list(range(start, start + 8))
+        classic = dataset.make_batch(cand, aug_seed=None)
+        if classic.edge_weight.size // len(cand) > first_epg:
+            idxs = cand
+            break
+    if idxs is None:
+        pytest.skip("no edge-overflowing batch in this synthetic vocab")
+    native_c, _ = dataset.make_batch_compact(idxs, aug_seed=None)
+    monkeypatch.setattr(dataset, "native", None)
+    fallback_c, fence = dataset.make_batch_compact(idxs, aug_seed=None)
+    fence.set_fence(None)
+    got_n = unpack_compact(native_c)
+    got_f = unpack_compact(fallback_c)
+    for f in got_n._fields:
+        a, b = np.asarray(getattr(got_n, f)), np.asarray(getattr(got_f, f))
+        assert a.shape == b.shape, f
+        np.testing.assert_array_equal(a, b, err_msg=f)
