@@ -326,6 +326,253 @@ def code_batch_to_torch(batch):
     )
 
 
+_LOSS_FILE = "MedTok/loss.py"
+
+
+def load_reference_loss_module(root: Path | str = REFERENCE_ROOT):
+    """Import the reference loss suite (/root/reference/MedTok/loss.py) by
+    file path — shared_loss / specific_loss / info_nce_loss are the torch
+    golden implementations the train-dynamics harness assembles against
+    (train_MedTok.py:215-238)."""
+    root = Path(root)
+    name = "MedTok.loss"
+    if name in sys.modules:
+        return sys.modules[name]
+    if "MedTok" not in sys.modules:
+        pkg = types.ModuleType("MedTok")
+        pkg.__path__ = [str(root / "MedTok")]
+        sys.modules["MedTok"] = pkg
+    spec = importlib.util.spec_from_file_location(name, root / _LOSS_FILE)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def zero_dropout(module) -> None:
+    """Zero every dropout in a torch module tree (nn.Dropout.p and
+    nn.MultiheadAttention.dropout). The reference cross-attention carries
+    dropout=0.1 (vector_quantization_soft_one_new.py:105) which is ACTIVE in
+    train mode; the dynamics harness compares deterministic objectives, so
+    both sides run dropout-free."""
+    import torch.nn as nn
+
+    for m in module.modules():
+        if isinstance(m, nn.Dropout):
+            m.p = 0.0
+        if isinstance(m, nn.MultiheadAttention):
+            m.dropout = 0.0
+
+
+def build_composed_train_oracle(
+    cfg, *, seed: int = 0, root: Path | str = REFERENCE_ROOT
+):
+    """The COMPOSED torch reference TRAIN pipeline as one trainable module.
+
+    Same component wiring as :func:`build_composed_oracle` but on the
+    training forward (tokenizer.py:202-226, training=True): frozen BERT under
+    ``no_grad`` (tokenizer.py:148-152), GCN run twice — real and edge-dropped
+    aug graph (:215-218), h / h_aug assembled in ``quant`` (:162-166), and the
+    imported reference ``VectorQuantizer`` in train mode returning the full
+    loss dict (vector_quantization_soft_one_new.py:238-271). All dropout is
+    zeroed (see :func:`zero_dropout`); with BERT dropout off the reference's
+    "text aug" (a second identical BERT call, :211-212) equals the first
+    call, matching the flax default ``text_dropout_in_train=False``.
+
+    ``forward`` returns the quantized-result dict; assemble the objective
+    with :func:`assemble_torch_losses`.
+    """
+    import torch
+    import torch.nn as nn
+    import transformers
+
+    mod = load_reference_vq_module(root)
+    t, g, q = cfg.text, cfg.graph, cfg.quantizer
+    torch.manual_seed(seed)
+
+    class ComposedTrainOracle(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.text_model = transformers.BertModel(transformers.BertConfig(
+                vocab_size=t.vocab_size, hidden_size=t.hidden_size,
+                num_hidden_layers=t.num_layers, num_attention_heads=t.num_heads,
+                intermediate_size=t.intermediate_size,
+                max_position_embeddings=t.max_position_embeddings,
+                hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+                hidden_act="gelu",
+            ))
+            for p in self.text_model.parameters():   # frozen (tokenizer.py:80-81)
+                p.requires_grad_(False)
+            self.emb = nn.Embedding(g.num_nodes, g.in_channels)
+            self.conv1 = make_torch_gcn_conv(g.in_channels, g.hidden_channels)
+            self.conv2 = make_torch_gcn_conv(g.hidden_channels, g.out_channels)
+            self.text_mapped = nn.Linear(t.hidden_size, g.out_channels)
+            self.quantize = mod.VectorQuantizer(
+                n_e=q.codebook_size, e_dim=q.codebook_embed_dim,
+                beta=q.commit_loss_beta, entropy_loss_ratio=q.entropy_loss_ratio,
+                l2_norm=q.l2_norm, show_usage=q.show_usage,
+                split=[q.codebook_embed_dim, q.codebook_embed_dim],
+                kmeans=False, num_head=q.num_heads, k=q.top_k,
+            )
+            zero_dropout(self)
+            # The reference registers the usage FIFO as
+            # nn.Parameter(requires_grad=True) inside register_buffer
+            # (vector_quantization_soft_one_new.py:118); its in-place FIFO
+            # shift then errors under grad mode on current torch. Restore
+            # intended buffer semantics (non-grad telemetry state).
+            if hasattr(self.quantize, "codebook_used"):
+                self.quantize.codebook_used.requires_grad_(False)
+
+        def _gcn(self, x, edge_index):
+            import torch as _t
+
+            h1 = _t.relu(self.conv1(x, edge_index))
+            return self.conv2(h1, edge_index)
+
+        def forward(self, input_ids, attention_mask, flat_nodes, edge_index,
+                    batch_vec, edge_index_aug):
+            import torch as _t
+
+            B = input_ids.shape[0]
+            with _t.no_grad():                       # tokenize_text (:148-152)
+                text = self.text_model(
+                    input_ids=input_ids, attention_mask=attention_mask
+                ).last_hidden_state
+            x = self.emb(flat_nodes)
+            node_feats = self._gcn(x, edge_index)            # (:215-216)
+            node_feats_aug = self._gcn(x, edge_index_aug)    # (:217-218)
+
+            def pool(nf):                                    # global_mean_pool
+                p = _t.zeros(B, nf.shape[1]).index_add_(0, batch_vec, nf)
+                cnt = _t.zeros(B).index_add_(
+                    0, batch_vec, _t.ones(batch_vec.shape[0])
+                ).clamp(min=1.0).unsqueeze(-1)
+                return p / cnt
+
+            graph_features = pool(node_feats)
+            graph_features_aug = pool(node_feats_aug)
+            text_features = self.text_mapped(text)           # (:221-222)
+            # quant assembly (tokenizer.py:160-166, dropout-free: aug text
+            # CLS == text CLS)
+            cls = text_features[:, 0, :]
+            h = _t.cat((cls, graph_features), dim=-1)
+            h_aug = _t.cat((cls, graph_features_aug), dim=-1)
+            return self.quantize(
+                h, text_features, node_feats, attention_mask, batch_vec, h_aug
+            )
+
+    oracle = ComposedTrainOracle()
+    oracle.train()
+    return oracle
+
+
+def assemble_torch_losses(
+    qr: dict, *, shared_loss_beta: float = 0.1, specific_loss_lamb: float = 0.1,
+    root: Path | str = REFERENCE_ROOT,
+):
+    """The exact torch training objective of train_MedTok.py:215-238, built
+    from the IMPORTED reference loss functions (loss.py:86-110). Returns
+    (total, metrics-dict) mirroring train.losses.assemble_losses."""
+    loss_mod = load_reference_loss_module(root)
+    codebook_loss = (
+        qr["shared_embed_loss"][0] + qr["shared_embed_loss"][1]
+        + qr["text_specific_loss"][0] + qr["text_specific_loss"][1]
+        + qr["graph_specific_loss"][0] + qr["graph_specific_loss"][1]
+    )
+    s11, s12, s21, s22 = loss_mod.shared_loss(
+        qr["shared_text_embedding"], qr["shared_graph_embedding"],
+        qr["text_feature"], qr["graph_feature"],
+    )
+    shared_all = (s11 - shared_loss_beta * s12) + (s21 - shared_loss_beta * s22)
+    p11, p12, p21, p22 = loss_mod.specific_loss(
+        z1=qr["specific_embedding_text"],
+        z1_aug=qr["specific_embedding_text_aug"],
+        z2=qr["specific_embedding_graph"],
+        z2_aug=qr["specific_embedding_graph_aug"],
+        z1_c=qr["shared_text_embedding"],
+        z2_c=qr["shared_graph_embedding"],
+    )
+    specific_all = (p11 + specific_loss_lamb * p12) + (p21 + specific_loss_lamb * p22)
+    total = codebook_loss + shared_all + specific_all
+    return total, {
+        "loss": total, "vq_loss": codebook_loss,
+        "loss_common_all": shared_all, "loss_specific_all": specific_all,
+        "loss_common_11": s11, "loss_common_12": s12,
+        "loss_common_21": s21, "loss_common_22": s22,
+        "loss_specific_11": p11, "loss_specific_12": p12,
+        "loss_specific_21": p21, "loss_specific_22": p22,
+    }
+
+
+def convert_composed_grads(oracle, cfg, flax_params) -> dict:
+    """Torch parameter GRADIENTS -> a pytree shaped exactly like the flax
+    param tree, for side-by-side comparison with ``jax.grad``.
+
+    Every weight conversion in this module is linear (transpose / row-split /
+    copy), so cotangents convert by the identical transformation. The frozen
+    BERT has no torch grads (requires_grad=False) and identically-zero flax
+    grads (stop_gradient at tokenizer_model.py:59); its subtree is emitted as
+    zeros of ``flax_params['text_model']``."""
+    import torch
+
+    gsd = {}
+    for k, p in oracle.named_parameters():
+        gsd[k] = torch.zeros_like(p) if p.grad is None else p.grad
+    return {
+        "text_model": _zeros_like_tree(flax_params["text_model"]),
+        "graph_encoder": {
+            "emb": {"embedding": _np(gsd["emb.weight"])},
+            "conv1": {
+                "lin": {"kernel": _np(gsd["conv1.lin.weight"]).T.copy()},
+                "bias": _np(gsd["conv1.bias"]),
+            },
+            "conv2": {
+                "lin": {"kernel": _np(gsd["conv2.lin.weight"]).T.copy()},
+                "bias": _np(gsd["conv2.bias"]),
+            },
+        },
+        "text_mapped": {
+            "kernel": _np(gsd["text_mapped.weight"]).T.copy(),
+            "bias": _np(gsd["text_mapped.bias"]).copy(),
+        },
+        "quantize": convert_torch_quantizer(
+            {k[len("quantize."):]: v for k, v in gsd.items()
+             if k.startswith("quantize.")}
+        ),
+    }
+
+
+def _zeros_like_tree(tree):
+    import jax
+
+    return jax.tree.map(lambda x: np.zeros_like(np.asarray(x)), tree)
+
+
+def code_batch_to_torch_train(batch):
+    """CodeBatch -> the train-forward tensor tuple: the eval tuple of
+    :func:`code_batch_to_torch` plus the edge-dropout-augmented flat
+    edge_index (dataset_creator.py:155-170; consumed at tokenizer.py:217)."""
+    import torch
+
+    ids, am, flat_nodes, edge_index, batch_vec = code_batch_to_torch(batch)
+    mask = np.asarray(batch.node_mask)
+    counts = mask.sum(axis=1).astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    src = np.asarray(batch.edge_src_aug)
+    dst = np.asarray(batch.edge_dst_aug)
+    w = np.asarray(batch.edge_weight_aug)
+    B = mask.shape[0]
+    E = src.shape[0]
+    graph_of_edge = np.arange(E) // (E // B)
+    real = w > 0
+    edge_index_aug = np.stack([
+        src[real] + offsets[graph_of_edge[real]],
+        dst[real] + offsets[graph_of_edge[real]],
+    ]).astype(np.int64)
+    return ids, am, flat_nodes, edge_index, batch_vec, \
+        torch.from_numpy(edge_index_aug)
+
+
 def convert_torch_quantizer(sd: dict, *, num_layers: int = 2) -> dict:
     """Reference ``VectorQuantizer.state_dict()`` -> SoftVQQuantizer params.
 
