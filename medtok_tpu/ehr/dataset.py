@@ -88,6 +88,9 @@ class EHRFeaturizer:
         time_within = np.zeros((V, 3), np.int32)
         time_between = np.zeros((V, 3), np.int32)
         for i in range(len(dis)):
+            if dis[i] is None or enc[i] is None:
+                continue  # NaT discharge (real-MIMIC quirk): zeros, like
+                # the negative-delta guard in time_format
             time_within[i] = time_format(dis[i] - enc[i])
         prev = [sample["birthdate"]] + dis
         for i in range(len(enc)):

@@ -225,6 +225,8 @@ class PatientEHRTasks:
 
         samples = []
         for i in range(len(rows) - 1):
+            if rows[i]["discharge"] is None:
+                continue  # NaT DISCHTIME (real-MIMIC quirk): no stay length
             days = (rows[i]["discharge"] - rows[i]["encounter"]).days
             samples.append(self._sample(patient, rows, i, categorize(days)))
         return samples or None
