@@ -440,11 +440,34 @@ def qa_finetune_step(jax, jnp) -> dict:
     }
 
 
+def ehr_parse_bench(jax, jnp) -> dict:
+    """Host-side EHR parse throughput (VERDICT r3 item 6): synthetic
+    MIMIC-III-schema CSVs at 2K patients / ~95K event rows through the
+    vectorized MIMIC3Dataset parser (scripts/bench_ehr_parse.py at scale)."""
+    import tempfile
+    from pathlib import Path
+
+    from scripts.bench_ehr_parse import make_scale_fixture
+
+    from medtok_tpu.ehr.parsers import MIMIC3Dataset
+
+    with tempfile.TemporaryDirectory() as td:
+        root = Path(td)
+        meta = make_scale_fixture(root, 2000)
+        t0 = time.perf_counter()
+        MIMIC3Dataset(root)
+        dt = time.perf_counter() - t0
+    return {
+        "ehr_parse_patients_per_sec": round(meta["patients"] / dt, 1),
+        "ehr_parse_event_rows_per_sec": round(meta["event_rows"] / dt, 1),
+    }
+
+
 def emit_result(jax, jnp, wall, t_tok, checksum, extra) -> None:
     # extras must never cost the headline metric (shared-pool flakiness)
     kernel = {}
     extras = (kernel_ab, flash_ab, train_throughput, ehr_train_step,
-              qa_finetune_step)
+              qa_finetune_step, ehr_parse_bench)
     if os.environ.get("MEDTOK_BENCH_EXTRAS", "1") == "0":
         extras = ()
     for fn in extras:
