@@ -1,0 +1,47 @@
+#!/bin/bash
+# Sustained production-shape training demonstration on the real chip
+# (VERDICT r3 item 2). Three legs:
+#   A: 2000 uninterrupted packed steps at B=1024 (ckpt rotation under way)
+#   B: same trajectory, SIGKILLed mid-run after step ~1050, then resumed
+#      from the rotated checkpoint and run to step 1200
+#   compare: B's post-resume metrics vs A's, step-for-step -> resume_equal
+# Writes docs/TRAIN_SUSTAINED.json (bench.py folds it into its output).
+set -u
+cd "$(dirname "$0")/.."
+STEPS=${STEPS:-2000}
+BATCH=${BATCH:-1024}
+KILL_AT=${KILL_AT:-1050}
+B_STEPS=${B_STEPS:-1200}
+ROOT=${ROOT:-/tmp/train_sustained}
+rm -rf "$ROOT"; mkdir -p "$ROOT"
+
+echo "=== leg A: $STEPS uninterrupted steps ==="
+timeout 7200 python scripts/train_sustained.py run \
+  --workdir "$ROOT/a" --steps "$STEPS" --batch "$BATCH" \
+  --log-every 20 --ckpt-every 500 2>&1 | tail -40
+
+echo "=== leg B: run to ~$KILL_AT, SIGKILL, resume to $B_STEPS ==="
+python scripts/train_sustained.py run \
+  --workdir "$ROOT/b" --steps "$B_STEPS" --batch "$BATCH" \
+  --log-every 20 --ckpt-every 500 > "$ROOT/b_phase1.log" 2>&1 &
+BPID=$!
+for i in $(seq 1 2000); do
+  s=$(tail -1 "$ROOT/b/metrics.jsonl" 2>/dev/null \
+      | python -c "import sys,json;print(json.load(sys.stdin)['step'])" \
+      2>/dev/null || echo 0)
+  if [ "$s" -ge "$KILL_AT" ]; then kill -9 "$BPID"; echo "SIGKILL at step $s"; break; fi
+  if ! kill -0 "$BPID" 2>/dev/null; then echo "leg B exited early"; break; fi
+  sleep 5
+done
+wait 2>/dev/null
+tail -3 "$ROOT/b_phase1.log"
+timeout 7200 python scripts/train_sustained.py run \
+  --workdir "$ROOT/b" --steps "$B_STEPS" --batch "$BATCH" \
+  --log-every 20 --ckpt-every 500 2>&1 | tail -15
+
+echo "=== compare + report ==="
+python scripts/train_sustained.py compare --a "$ROOT/a" --b "$ROOT/b" \
+  --from-step 1001 --out "$ROOT/resume.json"
+python scripts/train_sustained.py report --workdir "$ROOT/a" --batch "$BATCH" \
+  --resume-json "$ROOT/resume.json" --out docs/TRAIN_SUSTAINED.json
+echo "=== done ==="
