@@ -56,6 +56,58 @@ def topk_smallest(d: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
     return -neg_vals, idx
 
 
+def topk_smallest_grouped(
+    d: jax.Array, k: int, *, group: int = 512
+) -> tuple[jax.Array, jax.Array]:
+    """EXACT k-smallest with torch tie-break via a grouped two-level reduce.
+
+    ``lax.top_k`` over a [B, N] row is the VPU-bound tail of the codebook
+    sweep (a partial sort touches every element several times). This replaces
+    it with: (1) one min + one argmin pass per ``group``-sized column block
+    — ``argmin`` natively returns the FIRST index on ties, i.e. the
+    lexicographic (value, index) minimum; (2) a two-key sort of the G = N/group
+    group minima; (3) an exact two-key sort over the k*group candidate columns
+    of the k winning groups.
+
+    Exactness argument (not an approximation): lexicographic (value, index)
+    order is TOTAL, so the k global winners are the k lex-smallest elements.
+    Any group containing a winner has its lex-min lex-<= that winner, and
+    every group's lex-min that is lex-<= the k-th winner must itself BE one
+    of the k winners (there are exactly k elements lex-<= the k-th winner).
+    Hence winners occupy at most k groups and each such group ranks in the
+    top-k groups by lex-min — step (2) with exactly k groups never drops a
+    winner. Verified against the brute-force path on adversarial all-ties
+    data in tests/test_vq.py.
+    """
+    B, N = d.shape
+    G = -(-N // group)
+    if G <= k:  # degenerate: grouping can't shrink the problem
+        return topk_smallest(d, k)
+    pad = G * group - N
+    if pad:
+        d = jnp.pad(d, ((0, 0), (0, pad)), constant_values=jnp.inf)
+    dg = d.reshape(B, G, group)
+    gmin = jnp.min(dg, axis=-1)                       # [B, G]
+    gloc = jnp.argmin(dg, axis=-1).astype(jnp.int32)  # first index on ties
+    gidx = gloc + jnp.arange(G, dtype=jnp.int32)[None, :] * group
+
+    # top-k groups by lexicographic (min value, global argmin index)
+    _, _, gsel = jax.lax.sort(
+        (gmin, gidx, jnp.broadcast_to(jnp.arange(G, dtype=jnp.int32)[None, :],
+                                      (B, G))),
+        dimension=1, num_keys=2,
+    )
+    gsel = gsel[:, :k]                                # [B, k] winning groups
+
+    # gather the k winning groups' columns and finish exactly
+    cols = (gsel[:, :, None] * group
+            + jnp.arange(group, dtype=jnp.int32)[None, None, :]
+            ).reshape(B, k * group)                   # [B, k*group]
+    cand = jnp.take_along_axis(d, cols, axis=1)       # [B, k*group]
+    sv, si = jax.lax.sort((cand, cols), dimension=1, num_keys=2)
+    return sv[:, :k], si[:, :k]
+
+
 def _use_pallas(batch: int, n_codes: int, backend: str) -> bool:
     """Backend for the distance+top-k sweep: 'xla' (matmul + lax.top_k),
     'pallas' (fused kernel, ops/vq_pallas.py), or 'auto' (pallas on TPU for
@@ -73,6 +125,49 @@ def _use_pallas(batch: int, n_codes: int, backend: str) -> bool:
     )
 
 
+def distance_topk_two_pass(
+    z_n: jax.Array, e_n: jax.Array, k: int, *, m: int | None = None,
+    group: int = 512,
+) -> tuple[jax.Array, jax.Array]:
+    """Two-pass sweep: bf16-input candidate scan + exact fp32 rescore.
+
+    Pass 1 runs the O(B*N*D) cross matmul with bf16 inputs / fp32
+    accumulation (one MXU pass instead of the 3-6 passes an fp32-exact
+    matmul costs on TPU) and takes m >> k candidates with the grouped
+    reduce. Pass 2 recomputes the m candidate distances exactly in fp32 and
+    finishes with the two-key (value, index) sort.
+
+    NOT formally exact: input rounding to bf16 perturbs pass-1 distances by
+    ~|2*z.e|*2^-9, so a true winner further than that margin below the m-th
+    candidate cannot be lost, but adversarial data could defeat any fixed m.
+    The default m = max(4k, 16) leaves a wide margin; exactness at the
+    production shape is validated empirically by the parity harness
+    (scripts/run_parity_oracle.py sweeps). Use 'grouped' for guaranteed
+    exactness."""
+    if m is None:
+        m = max(4 * k, 16)
+    z32 = z_n.astype(jnp.float32)
+    e32 = e_n.astype(jnp.float32)
+    cross = jax.lax.dot_general(
+        z32.astype(jnp.bfloat16), e32.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [B, N]
+    e_sq = jnp.sum(e32 * e32, axis=1)
+    d_approx = e_sq[None, :] - 2.0 * cross  # x_sq is row-constant: rank-free
+    _, cand = topk_smallest_grouped(d_approx, m, group=group)
+
+    g = e32[cand]  # [B, m, D]
+    d_exact = (
+        jnp.sum(z32 * z32, axis=-1, keepdims=True)
+        + jnp.sum(g * g, axis=-1)
+        - 2.0 * jnp.einsum("bd,bmd->bm", z32, g,
+                           preferred_element_type=jnp.float32)
+    )
+    sv, si = jax.lax.sort((d_exact, cand), dimension=1, num_keys=2)
+    return sv[:, :k], si[:, :k]
+
+
 def distance_topk(
     z_n: jax.Array, e_n: jax.Array, k: int, *, backend: str = "auto"
 ) -> tuple[jax.Array, jax.Array]:
@@ -80,7 +175,30 @@ def distance_topk(
     e_n rows. The pallas path computes indices with the fused kernel and then
     recomputes the selected distances differentiably (a [B,k,D] gather) so
     gradients w.r.t. z and the codebook match the XLA top_k path (torch
-    backprops through topk.values the same way)."""
+    backprops through topk.values the same way).
+
+    backend: 'xla' (fp32 matmul + lax.top_k), 'grouped' (fp32 matmul + exact
+    two-level reduce — same results, cheaper tail), 'two_pass' (bf16 candidate
+    scan + fp32 rescore), 'pallas' (fused kernel), 'auto' (measured best)."""
+    if backend == "grouped":
+        d = squared_distance(z_n, e_n)
+        vals, idx = topk_smallest_grouped(d, k)
+        g = e_n[jax.lax.stop_gradient(idx)]  # differentiable recompute
+        vals = (
+            jnp.sum(z_n * z_n, axis=-1, keepdims=True)
+            + jnp.sum(g * g, axis=-1)
+            - 2.0 * jnp.einsum("bd,bkd->bk", z_n, g)
+        )
+        return vals, idx
+    if backend == "two_pass":
+        vals, idx = distance_topk_two_pass(z_n, e_n, k)
+        g = e_n[jax.lax.stop_gradient(idx)]
+        vals = (
+            jnp.sum(z_n * z_n, axis=-1, keepdims=True)
+            + jnp.sum(g * g, axis=-1)
+            - 2.0 * jnp.einsum("bd,bkd->bk", z_n, g)
+        )
+        return vals, idx
     if _use_pallas(z_n.shape[0], e_n.shape[0], backend):
         from medtok_tpu.ops.vq_pallas import fused_topk_l2
 

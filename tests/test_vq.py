@@ -146,3 +146,88 @@ def test_usage_fifo_long_run_counts_consistent():
     hist = np.bincount(np.asarray(buf), minlength=n_e)
     np.testing.assert_array_equal(np.asarray(counts), hist)
     assert usage == pytest.approx(len(np.unique(np.asarray(buf))) / n_e)
+
+
+# ------------------------------------------------- grouped / two-pass -----
+
+def _torch_topk_smallest(d, k):
+    td = torch.as_tensor(np.asarray(d))
+    v, i = torch.topk(td, k=k, largest=False)
+    return v.numpy(), i.numpy()
+
+
+def test_grouped_topk_exact_random():
+    rng = np.random.default_rng(0)
+    d = rng.normal(size=(64, 3000)).astype(np.float32)
+    v, i = jax.jit(lambda x: vq.topk_smallest_grouped(x, 5, group=256))(d)
+    tv, ti = _torch_topk_smallest(d, 5)
+    np.testing.assert_array_equal(np.asarray(i), ti)
+    np.testing.assert_allclose(np.asarray(v), tv, rtol=0, atol=0)
+
+
+def test_grouped_topk_exact_adversarial_ties():
+    """All-equal values: winners are the k lowest indices; massive tie groups
+    straddling group boundaries must not defeat the at-most-k-groups
+    argument."""
+    d = np.zeros((8, 2048), np.float32)
+    v, i = vq.topk_smallest_grouped(jnp.asarray(d), 5, group=128)
+    np.testing.assert_array_equal(np.asarray(i), np.tile(np.arange(5), (8, 1)))
+
+    # two-level ties: value tied across many groups, plus a strictly smaller
+    # singleton far from index 0
+    d2 = np.ones((4, 2048), np.float32)
+    d2[:, 1999] = 0.5
+    v2, i2 = vq.topk_smallest_grouped(jnp.asarray(d2), 3, group=100)
+    np.testing.assert_array_equal(
+        np.asarray(i2), np.tile([1999, 0, 1], (4, 1)))
+
+
+def test_grouped_topk_exact_vs_topk_fuzz():
+    """Grouped must equal lax.top_k EXACTLY (lowest-index-first on ties) —
+    torch's intra-tie order is unstable, so vs torch assert set equality +
+    identical values (the parity harness's token_set_match standard)."""
+    rng = np.random.default_rng(3)
+    for trial in range(5):
+        # quantized values force frequent exact ties
+        d = rng.integers(0, 50, size=(32, 1234)).astype(np.float32)
+        tv, ti = _torch_topk_smallest(d, 5)
+        for group in (64, 512, 2048):
+            v, i = vq.topk_smallest_grouped(jnp.asarray(d), 5, group=group)
+            rv, ri = vq.topk_smallest(jnp.asarray(d), 5)
+            np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+            np.testing.assert_array_equal(np.asarray(v), np.asarray(rv))
+            np.testing.assert_array_equal(np.asarray(v), tv)
+            np.testing.assert_array_equal(
+                np.sort(np.asarray(i), axis=1), np.sort(ti, axis=1))
+
+
+def test_distance_topk_backends_agree():
+    rng = np.random.default_rng(7)
+    z = vq.l2_normalize(jnp.asarray(
+        rng.normal(size=(128, 64)).astype(np.float32)))
+    e = vq.l2_normalize(jnp.asarray(
+        rng.normal(size=(2100, 64)).astype(np.float32)))
+    v_ref, i_ref = vq.distance_topk(z, e, 5, backend="xla")
+    for backend in ("grouped", "two_pass"):
+        v, i = vq.distance_topk(z, e, 5, backend=backend)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref)), backend
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(v_ref), atol=2e-6), backend
+
+
+def test_grouped_backend_gradients_match_xla():
+    rng = np.random.default_rng(11)
+    z = jnp.asarray(rng.normal(size=(32, 16)).astype(np.float32))
+    e = jnp.asarray(rng.normal(size=(300, 16)).astype(np.float32))
+
+    def loss(backend):
+        def f(z, e):
+            zn, en = vq.l2_normalize(z), vq.l2_normalize(e)
+            v, _ = vq.distance_topk(zn, en, 5, backend=backend)
+            return jnp.sum(jax.nn.softmax(-v, axis=-1) * v)
+        return jax.grad(f, argnums=(0, 1))(z, e)
+
+    gz0, ge0 = loss("xla")
+    gz1, ge1 = loss("grouped")
+    np.testing.assert_allclose(np.asarray(gz1), np.asarray(gz0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ge1), np.asarray(ge0), atol=1e-5)
