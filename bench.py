@@ -463,11 +463,27 @@ def ehr_parse_bench(jax, jnp) -> dict:
     }
 
 
+def train_sustained_block(jax, jnp) -> dict:
+    """Fold in the sustained-run artifact (scripts/run_train_sustained.sh:
+    2000 packed steps at B=1024 on the real chip + SIGKILL/resume equality).
+    Precomputed — a 10-minute three-leg job doesn't belong in every bench
+    invocation; the JSON it reports was measured on this chip and the
+    source field says exactly where it came from."""
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "docs", "TRAIN_SUSTAINED.json")
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        block = json.load(f)
+    block["source"] = "precomputed: scripts/run_train_sustained.sh"
+    return {"train_sustained": block}
+
+
 def emit_result(jax, jnp, wall, t_tok, checksum, extra) -> None:
     # extras must never cost the headline metric (shared-pool flakiness)
     kernel = {}
     extras = (kernel_ab, flash_ab, train_throughput, ehr_train_step,
-              qa_finetune_step, ehr_parse_bench)
+              qa_finetune_step, ehr_parse_bench, train_sustained_block)
     if os.environ.get("MEDTOK_BENCH_EXTRAS", "1") == "0":
         extras = ()
     for fn in extras:
