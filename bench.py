@@ -849,11 +849,17 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
 
 
 def kernel_ab(jax, jnp) -> dict:
-    """Compiled (not interpret-mode) fused_topk_l2 vs XLA matmul+top_k, swept
-    across (B, N) around the production codebook; exact index equality +
-    interleaved timing. Headline kernel_* fields report the production shape
-    (8192x21000); kernel_sweep carries the rest."""
-    from medtok_tpu.ops.vq import squared_distance, topk_smallest
+    """Compiled (not interpret-mode) fused_topk_l2 vs XLA matmul+top_k vs
+    the grouped two-level reduce, swept across (B, N) around the production
+    codebook; exact index equality + interleaved AMORTIZED timing (R async
+    dispatches, ONE fetch — a per-call scalar fetch costs tens of ms
+    through the tunnel and swamps sub-100ms kernels). Headline kernel_*
+    fields report the production shape (8192x21000); kernel_sweep the rest."""
+    from medtok_tpu.ops.vq import (
+        squared_distance,
+        topk_smallest,
+        topk_smallest_grouped,
+    )
     from medtok_tpu.ops.vq_pallas import fused_topk_l2
 
     if jax.default_backend() != "tpu":
@@ -876,30 +882,45 @@ def kernel_ab(jax, jnp) -> dict:
         def pallas_topk(z, e):
             return fused_topk_l2(z, e, k=K, tile_b=256, tile_n=2048)
 
+        @jax.jit
+        def grouped_topk(z, e):
+            return topk_smallest_grouped(squared_distance(z, e), K)
+
+        fns = {"xla": xla_topk, "pallas": pallas_topk,
+               "grouped": grouped_topk}
         _, xi = jax.tree.map(np.asarray, xla_topk(z, e))
         _, pi = jax.tree.map(np.asarray, pallas_topk(z, e))
+        _, gi = jax.tree.map(np.asarray, grouped_topk(z, e))
         exact = bool(np.array_equal(xi, pi))
+        g_exact = bool(np.array_equal(xi, gi))
 
-        times = {"xla": [], "pallas": []}
+        R = 10
+        times = {n: [] for n in fns}
         for trial in range(4):
-            for name, fn in (("xla", xla_topk), ("pallas", pallas_topk)):
+            for name, fn in fns.items():
                 t0 = time.perf_counter()
-                v, i = fn(z, e)
-                float(jnp.sum(v) + jnp.sum(i))  # force
+                for _ in range(R):
+                    v, i = fn(z, e)
+                float(jnp.sum(v) + jnp.sum(i))  # force the queue once
                 if trial:  # discard trial 0 (shared-pool transients)
-                    times[name].append(time.perf_counter() - t0)
+                    times[name].append((time.perf_counter() - t0) / R)
         xla_ms = 1e3 * min(times["xla"])
         pal_ms = 1e3 * min(times["pallas"])
+        grp_ms = 1e3 * min(times["grouped"])
         sweep[f"{B}x{N}"] = {
-            "exact": exact, "xla_ms": round(xla_ms, 2),
+            "exact": exact, "grouped_exact": g_exact,
+            "xla_ms": round(xla_ms, 2),
             "pallas_ms": round(pal_ms, 2),
+            "grouped_ms": round(grp_ms, 2),
             "speedup": round(xla_ms / pal_ms, 2),
+            "grouped_speedup": round(xla_ms / grp_ms, 2),
         }
         if (B, N) == HEAD:
             out = {
-                "kernel_indices_exact": exact,
+                "kernel_indices_exact": exact and g_exact,
                 "kernel_xla_ms": round(xla_ms, 2),
                 "kernel_pallas_ms": round(pal_ms, 2),
+                "kernel_grouped_ms": round(grp_ms, 2),
                 "kernel_speedup": round(xla_ms / pal_ms, 2),
                 "kernel_shape": f"{B}x{N}x{D} k={K}",
             }

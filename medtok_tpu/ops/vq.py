@@ -78,6 +78,9 @@ def topk_smallest_grouped(
     top-k groups by lex-min — step (2) with exactly k groups never drops a
     winner. Verified against the brute-force path on adversarial all-ties
     data in tests/test_vq.py.
+
+    ``d`` must be finite (no +inf masking — the one-hot extraction matmul
+    would produce NaN from 0*inf); mask with ``jnp.finfo(f32).max`` instead.
     """
     B, N = d.shape
     G = -(-N // group)
@@ -85,7 +88,10 @@ def topk_smallest_grouped(
         return topk_smallest(d, k)
     pad = G * group - N
     if pad:
-        d = jnp.pad(d, ((0, 0), (0, pad)), constant_values=jnp.inf)
+        # finite max, not inf: the one-hot extraction matmul below would turn
+        # inf * 0.0 into NaN for every non-selected group's padded columns
+        d = jnp.pad(d, ((0, 0), (0, pad)),
+                    constant_values=float(jnp.finfo(jnp.float32).max))
     dg = d.reshape(B, G, group)
     gmin = jnp.min(dg, axis=-1)                       # [B, G]
     gloc = jnp.argmin(dg, axis=-1).astype(jnp.int32)  # first index on ties
@@ -99,11 +105,19 @@ def topk_smallest_grouped(
     )
     gsel = gsel[:, :k]                                # [B, k] winning groups
 
-    # gather the k winning groups' columns and finish exactly
+    # extract the winning groups' columns as a one-hot MXU matmul —
+    # per-row take_along_axis gathers of k*group columns measured 6-20x
+    # slower than the whole sweep on TPU; selecting with a {0,1} matrix at
+    # HIGHEST precision is exact (each output sums exactly one product x*1)
+    onehot = jax.nn.one_hot(gsel, G, dtype=jnp.float32)        # [B, k, G]
+    cand = jax.lax.dot_general(
+        onehot, dg, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    ).reshape(B, k * group)                           # [B, k*group]
     cols = (gsel[:, :, None] * group
             + jnp.arange(group, dtype=jnp.int32)[None, None, :]
-            ).reshape(B, k * group)                   # [B, k*group]
-    cand = jnp.take_along_axis(d, cols, axis=1)       # [B, k*group]
+            ).reshape(B, k * group)                   # matching global ids
     sv, si = jax.lax.sort((cand, cols), dimension=1, num_keys=2)
     return sv[:, :k], si[:, :k]
 

@@ -83,18 +83,21 @@ def main() -> None:
             idx = np.asarray(results[f"grouped_g{g}"][1])
             exact[f"grouped_g{g}"] = bool((idx == ref_idx).all())
 
-        # interleaved timing
+        # interleaved AMORTIZED timing: R async dispatches per sample, one
+        # fetch at the end — a per-call scalar fetch costs ~60 ms through
+        # the tunnel and swamps sub-100ms kernels (first A/B attempt showed
+        # matmul_only == xla == fetch latency)
+        R = 20
         times: dict[str, list[float]] = {n: [] for n in fns}
         for trial in range(args.trials):
             for name, fn in fns.items():
                 t0 = time.perf_counter()
-                r = fn(z, e)
-                jax.block_until_ready(r)
-                # force a device-side scalar (axon timing gotcha)
+                for _ in range(R):
+                    r = fn(z, e)
                 leaf = r if isinstance(r, jax.Array) else r[0]
-                float(jnp.sum(leaf))
+                float(jnp.sum(leaf))  # force the whole queue
                 if trial:
-                    times[name].append(time.perf_counter() - t0)
+                    times[name].append((time.perf_counter() - t0) / R)
 
         out["backend_sweep"][shape] = {
             "ms": {n: round(1e3 * min(ts), 2) for n, ts in times.items()},

@@ -195,7 +195,7 @@ def quality_experiment(seed: int, *, epochs: int = 8, dropout: float = 0.0,
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=3)
-    ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--epochs", type=int, default=20)
     ap.add_argument("--n", type=int, default=480)
     ap.add_argument("--report", default="docs/PARITY_REPORT.json")
     args = ap.parse_args()
@@ -208,10 +208,10 @@ def main() -> None:
     print("ehr_forward:", json.dumps(fwd))
 
     runs_det = [quality_experiment(s, epochs=args.epochs, dropout=0.0,
-                                   n=args.n)
+                                   n=args.n, lr=3e-3)
                 for s in range(args.seeds)]
     runs_drop = [quality_experiment(s, epochs=args.epochs, dropout=0.5,
-                                    n=args.n)
+                                    n=args.n, lr=3e-3)
                  for s in range(args.seeds)]
     quality = {
         "recipe": "Adam + cosine(T_max=10, eta_min=1e-3), BCEWithLogits, "
