@@ -45,7 +45,12 @@ class QAFinetuner:
         llm_cfg: LlamaConfig,
         embeddings: np.ndarray,
         cfg: QAFinetuneConfig = QAFinetuneConfig(),
+        *,
+        devices=None,
     ):
+        """``devices``: optional explicit device list for the (dp, tp) mesh —
+        e.g. an abstract TPU topology's devices for AOT memory analysis
+        (scripts/qa_8b_memory_tpu.py) — defaults to jax.devices()."""
         self.cfg = cfg
         self.llm_cfg = dataclasses.replace(
             llm_cfg, lora_rank=cfg.lora_rank, lora_alpha=cfg.lora_alpha,
@@ -57,7 +62,8 @@ class QAFinetuner:
             from medtok_tpu.qa.sharding import check_divisibility
 
             check_divisibility(self.llm_cfg, cfg.mesh_tp)
-            self.mesh = make_mesh(dp=cfg.mesh_dp, tp=cfg.mesh_tp)
+            self.mesh = make_mesh(dp=cfg.mesh_dp, tp=cfg.mesh_tp,
+                                  devices=devices)
         # mesh passed into the model: enables Megatron TP activation
         # constraints inside the layers (head-sharded attention buffers)
         self.model = LlamaModel(self.llm_cfg, mesh=self.mesh)

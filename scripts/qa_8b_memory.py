@@ -54,7 +54,7 @@ def main() -> None:
 
 def report_8b_memory(
     *, tp: int = 8, batch: int = 16, seq: int = 512, remat: bool = True,
-    table_rows: int = 1024, num_layers: int | None = None,
+    table_rows: int = 1024, num_layers: int | None = None, devices=None,
 ) -> dict:
     """Compile the 8B finetune step AOT on a (1, tp) mesh; return per-device
     memory stats in bytes. Importable by tests (which assert the v5e fit)."""
@@ -82,8 +82,9 @@ def report_8b_memory(
         lora_rank=16, cutoff_len=256, total_len=seq, batch_size=batch,
         mesh_dp=1, mesh_tp=tp,
     )
-    ft = QAFinetuner(cfg8b, table, qcfg)
-    mesh = ft.mesh if ft.mesh is not None else make_mesh(dp=1, tp=tp)
+    ft = QAFinetuner(cfg8b, table, qcfg, devices=devices)
+    mesh = ft.mesh if ft.mesh is not None else make_mesh(dp=1, tp=tp,
+                                                         devices=devices)
 
     rng = jax.random.PRNGKey(0)
     dummy = jnp.zeros((1, 8), jnp.int32)
