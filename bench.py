@@ -288,13 +288,16 @@ def train_throughput(jax, jnp) -> dict:
         args = (state, sb, sp) if mk else (state, sb)
         _, m = step(*args)                      # compile + warm
         float(jax.device_get(m["loss"]))
+        R = 5  # amortized: R async dispatches, ONE loss fetch — a per-step
+        # scalar fetch costs ~20-60 ms through the tunnel (see kernel_ab)
         times = []
         for trial in range(4):
             t0 = time.perf_counter()
-            _, m = step(*args)
-            float(jax.device_get(m["loss"]))    # force
+            for _ in range(R):
+                _, m = step(*args)
+            float(jax.device_get(m["loss"]))    # force the queue
             if trial:
-                times.append(time.perf_counter() - t0)
+                times.append((time.perf_counter() - t0) / R)
         ms = 1e3 * min(times)
         out[name] = round(ms, 1)
         out[name.replace("step_ms", "codes_per_sec")] = round(GB / (ms / 1e3), 1)
@@ -359,13 +362,15 @@ def ehr_train_step(jax, jnp) -> dict:
     rng_j = jax.random.PRNGKey(0)
     out = trainer._train_step(params, opt_state, batch, rng_j)
     float(jax.device_get(out[2]))          # compile + warm (loss)
+    R = 3  # amortized dispatches, one fetch (see kernel_ab)
     times = []
     for trial in range(4):
         t0 = time.perf_counter()
-        out = trainer._train_step(params, opt_state, batch, rng_j)
+        for _ in range(R):
+            out = trainer._train_step(params, opt_state, batch, rng_j)
         float(jax.device_get(out[2]))
         if trial:
-            times.append(time.perf_counter() - t0)
+            times.append((time.perf_counter() - t0) / R)
     ms = 1e3 * min(times)
     return {
         "ehr_train_step_ms_b256": round(ms, 1),
@@ -425,13 +430,16 @@ def qa_finetune_step(jax, jnp) -> dict:
     }
     train_p, opt_state, loss = ft._step(train_p, frozen_p, opt_state, batch)
     float(jax.device_get(loss))
+    R = 3  # amortized dispatches (chained through state), one fetch
     times = []
     for trial in range(4):
         t0 = time.perf_counter()
-        train_p, opt_state, loss = ft._step(train_p, frozen_p, opt_state, batch)
+        for _ in range(R):
+            train_p, opt_state, loss = ft._step(
+                train_p, frozen_p, opt_state, batch)
         float(jax.device_get(loss))
         if trial:
-            times.append(time.perf_counter() - t0)
+            times.append((time.perf_counter() - t0) / R)
     ms = 1e3 * min(times)
     return {
         "qa_finetune_step_ms": round(ms, 1),
@@ -959,14 +967,19 @@ def flash_ab(jax, jnp) -> dict:
     bd = np.asarray(flash_d(q, k, v))
     derr = float(np.abs(a - bd).max())
 
+    R = 8  # amortized: R async dispatches, one fetch (tunnel fetch ~tens
+    # of ms would otherwise pollute sub-100ms kernels; see kernel_ab)
     times = {"dense": [], "flash": [], "flash_def": []}
     for trial in range(4):
         for name, fn in (("dense", dense), ("flash", flash),
                          ("flash_def", flash_d)):
             t0 = time.perf_counter()
-            float(jnp.sum(fn(q, k, v)))  # force
+            acc = jnp.zeros(())
+            for _ in range(R):
+                acc = acc + jnp.sum(fn(q, k, v))
+            float(acc)  # force the queue once
             if trial:
-                times[name].append(time.perf_counter() - t0)
+                times[name].append((time.perf_counter() - t0) / R)
     d_ms = 1e3 * min(times["dense"])
     f_ms = 1e3 * min(times["flash"])
     out = {
