@@ -148,6 +148,57 @@ def main() -> None:
         if trial:
             e2e.append((time.perf_counter() - t0) / N)
 
+    # ---- component split: BERT-only vs quantizer-tail-only (both chained,
+    # staged inputs) — quantifies the dominant step's internal budget so
+    # optimization goes at the bigger share, not a guess ----
+    @jax.jit
+    def bert_step(carry, params, ids, meta):
+        R, P = ids.shape
+        flat_base, tlens = meta[0], meta[1]
+        seg, pos, _, _ = derive_packed_meta(
+            flat_base, tlens, num_rows=R, row_len=P, lmax=1
+        )
+        pm = (seg[:, :, None] == seg[:, None, :]) & (seg[:, :, None] > 0)
+        flat = model.apply(
+            {"params": params}, ids.astype(jnp.int32), pm, pos,
+            method=MultimodalTokenizer.encode_text_packed,
+        )
+        return carry + jnp.sum(flat)
+
+    flat_d = jnp.asarray(
+        rng.standard_normal((R * P, cfg.text.hidden_size)), jnp.float32)
+
+    @jax.jit
+    def quant_step(carry, params, usage, flat, meta, cb):
+        flat_base, tlens = meta[0], meta[1]
+        _, _, gidx, tmask = derive_packed_meta(
+            flat_base, tlens, num_rows=1, row_len=1, lmax=LMAX
+        )
+        out = model.apply(
+            {"params": params, "usage": usage}, flat, gidx, tmask,
+            unpack_compact(cb),
+            method=MultimodalTokenizer.tokenize_from_hidden,
+        )
+        return (carry + jnp.sum(out.embedding)
+                + jnp.sum(out.tokens).astype(jnp.float32)
+                + jnp.sum(out.weights))
+
+    def chain(fn, *a):
+        float(fn(jnp.zeros(()), *a))
+        best = []
+        for trial in range(args.trials):
+            carry = jnp.zeros(())
+            t0 = time.perf_counter()
+            for _ in range(N):
+                carry = fn(carry, *a)
+            float(carry)
+            if trial:
+                best.append((time.perf_counter() - t0) / N)
+        return 1e3 * min(best)
+
+    bert_ms = chain(bert_step, params, ids_d, meta_d)
+    quant_ms = chain(quant_step, params, usage, flat_d, meta_d, cb_d)
+
     device_ms = 1e3 * min(dev)
     e2e_ms = 1e3 * min(e2e)
     flops = (R * P * bench._bert_flops_per_token(P)
@@ -159,6 +210,14 @@ def main() -> None:
         "device_mfu": round(flops / (device_ms / 1e3) / bench.V5E_BF16_PEAK, 3),
         "e2e_mfu": round(flops / (e2e_ms / 1e3) / bench.V5E_BF16_PEAK, 3),
         "codes_per_sec_device_only": round(C / (device_ms / 1e3), 1),
+        "bert_only_ms": round(bert_ms, 2),
+        "quant_only_ms": round(quant_ms, 2),
+        "bert_mfu": round(
+            R * P * bench._bert_flops_per_token(P)
+            / (bert_ms / 1e3) / bench.V5E_BF16_PEAK, 3),
+        "quant_mfu": round(
+            C * bench._vq_flops_per_code()
+            / (quant_ms / 1e3) / bench.V5E_BF16_PEAK, 3),
     })
     print(json.dumps(out))
 

@@ -30,20 +30,24 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
-def bench_fn(fn, *args, trials: int = 4) -> float:
-    """min-of-(trials-1) wall ms; trial 0 discarded (pool transients).
+def bench_fn(fn, *args, trials: int = 4, reps: int = 8) -> float:
+    """Amortized min-of-(trials-1) wall ms; trial 0 discarded (compile +
+    pool transients).
 
-    Every timed fn must return a SCALAR: on the axon tunnel dispatch is lazy
-    and block_until_ready does not force remote execution — a d2h scalar
-    fetch (float()) is the reliable fence (same trick as bench.py's chained
-    checksum)."""
+    Timing MUST amortize on this box: ``reps`` async dispatches, then ONE
+    scalar fetch — a per-call float() costs 20-60 ms of axon-tunnel fetch
+    latency and inflated every r03 sub-100 ms number (bench.py kernel_ab
+    note). The queue keeps the device serialized, and the final fetch
+    fences all prior dispatches."""
     float(fn(*args))
     times = []
     for t in range(trials):
         t0 = time.perf_counter()
-        float(fn(*args))
+        for _ in range(reps):
+            out = fn(*args)
+        float(out)
         if t:
-            times.append(time.perf_counter() - t0)
+            times.append((time.perf_counter() - t0) / reps)
     return 1e3 * min(times)
 
 
