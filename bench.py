@@ -652,6 +652,11 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
         print(f"[{time.perf_counter() - _note_t0:8.1f}s] {msg}",
               file=sys.stderr, flush=True)
 
+    # device-staged copies of one example batch per compiled shape: after the
+    # timed sweep these feed a chained per-shape device timing so the JSON
+    # carries a measured device-time attribution (which shapes the wall is
+    # actually made of), not a guess
+    staged: dict = {}
     for bi in range(len(NB)):
         Rb = R_PER_NB[bi]
         for C in C_PER_NB[bi]:
@@ -669,10 +674,15 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
                                Rb * P - 16),
                     np.full(C, 8, np.int32),
                 ])
+                meta_d = jnp.asarray(meta)
+                cb_d = jax.tree.map(
+                    lambda x: jnp.asarray(x) if x is not None else None, b,
+                    is_leaf=lambda x: x is None)
                 c = fused_step(jnp.zeros(()), params, usage,
-                               dummy_ids[:Rb], jnp.asarray(meta), b)
+                               dummy_ids[:Rb], meta_d, cb_d)
                 fence.set_fence(c)
                 float(c)
+                staged[(bi, C, epg)] = (Rb, meta_d, cb_d)
 
     # ---- TIMED ----
     NSHARDS = int(os.environ.get("MEDTOK_BENCH_SHARDS", 8))
@@ -700,13 +710,15 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
     n_steps = 0
     n_big = 0
     bert_tokens = 0
+    real_tokens = 0
     vq_codes = 0
+    step_counts: dict = {}
     from medtok_tpu.data.packing import take_group
 
     def launch_group(group_texts, abs_idx, bi, epg, tg, tp):
         """One (bert_step, quant_step) pair for a packed code group."""
         nonlocal carry, t_group, t_ptext, t_mkbatch, t_disp
-        nonlocal n_steps, bert_tokens, vq_codes
+        nonlocal n_steps, bert_tokens, real_tokens, vq_codes
         Rb = R_PER_NB[bi]
         C = c_bucket(len(abs_idx), bi)
         idxs = np.concatenate(
@@ -735,7 +747,10 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
         t_disp += te - td
         n_steps += 1
         bert_tokens += Rb * P
+        real_tokens += int(sum(len(t) for t in group_texts))
         vq_codes += C
+        k = (bi, C, epg)
+        step_counts[k] = step_counts.get(k, 0) + 1
 
     # Heavy-tail buckets are DEFERRED to one global pass after the shard
     # loop: per-shard grouping fragmented them into under-filled steps
@@ -837,7 +852,39 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
     checksum = float(carry)
     wall = time.perf_counter() - t0
     assert np.isfinite(checksum)
+
+    # ---- per-shape device attribution (outside the clock): chain-time each
+    # compiled shape on its staged device inputs; steps x device_ms sums to a
+    # measured estimate of how the wall's device share decomposes ----
+    per_shape = {}
+    device_busy = 0.0
+    for key, (Rb, meta_d, cb_d) in staged.items():
+        n_k = step_counts.get(key, 0)
+        if n_k == 0:
+            continue
+        reps = 6
+        best = None
+        for trial in range(3):
+            cc = jnp.zeros(())
+            ts = time.perf_counter()
+            for _ in range(reps):
+                cc = fused_step(cc, params, usage, dummy_ids[:Rb],
+                                meta_d, cb_d)
+            float(cc)
+            dt = (time.perf_counter() - ts) / reps
+            if trial and (best is None or dt < best):
+                best = dt
+        bi, C, epg = key
+        per_shape[f"nb{NB[bi]}_C{C}_epg{epg}"] = {
+            "steps": n_k, "device_ms": round(1e3 * best, 1),
+            "device_s": round(n_k * best, 2),
+        }
+        device_busy += n_k * best
+
     return {
+        "device_busy_est_s": round(device_busy, 2),
+        "per_shape": per_shape,
+        "pack_row_utilization": round(real_tokens / max(bert_tokens, 1), 3),
         "wall_s": wall, "tokenize_s": t_tok, "checksum": checksum,
         "packed": True, "pack_rows": R, "pack_row_len": P,
         "n_steps": n_steps, "n_shards": NSHARDS,

@@ -80,7 +80,8 @@ def main() -> None:
     gi = jnp.asarray(rng.integers(0, R * P, (C, LMAX)), jnp.int32)
     tm = jnp.zeros((C, LMAX), bool).at[:, :16].set(True)
 
-    def chain(fn, *a):
+    def chain(fn, *a, name=""):
+        print(f"leg: {name or fn.__name__}", file=sys.stderr, flush=True)
         float(fn(jnp.zeros(()), *a))
         best = []
         for t in range(args.trials):
