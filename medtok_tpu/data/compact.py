@@ -57,15 +57,29 @@ def _expand(edge_packed, ne, batch: int, outdeg=None):
         # STREAM encoding (big node buckets): edge_packed is a uint16 dst
         # stream, edges grouped by source node; src rebuilds from the
         # per-node out-degrees — src_e = #{j : cum[j] <= e} with
-        # cum = exclusive cumsum(outdeg). vmapped searchsorted lowers to a
-        # log2(Ln)-step gather scan (no [B, epg, Ln] materialization).
+        # cum = inclusive cumsum(outdeg), i.e. searchsorted(cum, e, "right").
+        # Computed as a broadcast compare + reduce over Ln: XLA fuses the
+        # virtual [B, chunk, Ln] int compare into the reduction (same shape
+        # as one adjacency one-hot pass). A vmapped jnp.searchsorted is
+        # exact too but lowers to log2(Ln) rounds of dynamic gathers that
+        # serialize on TPU: 432 ms vs 4.7 ms at B=512 Ln=512 epg=8192
+        # (scripts/bench_stream_decode.py, real chip).
         dst = jnp.asarray(edge_packed).astype(jnp.int32)
         od = jnp.asarray(outdeg).astype(jnp.int32)      # [B, Ln]
         cum = jnp.cumsum(od, axis=1)                    # inclusive
         e_iota = jnp.arange(epg, dtype=jnp.int32)
-        src = jax.vmap(
-            lambda c: jnp.searchsorted(c, e_iota, side="right")
-        )(cum).astype(jnp.int32)
+        ln = od.shape[1]
+        # bound the fused virtual tensor to ~16M elements per chunk
+        chunk = max(min(epg, (1 << 24) // max(ln, 1)), 1)
+        while epg % chunk:
+            chunk -= 1
+        parts = []
+        for c0 in range(0, epg, chunk):
+            e = e_iota[c0:c0 + chunk]
+            parts.append(jnp.sum(
+                cum[:, None, :] <= e[None, :, None], axis=-1, dtype=jnp.int32
+            ))
+        src = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
         # padding slots (e >= ne) fall past the last cumsum step — zero
         # them to match the classic packed layout exactly
         src = jnp.where(e_iota[None, :] < ne[:, None], src, 0)

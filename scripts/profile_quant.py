@@ -118,9 +118,11 @@ def main() -> None:
     nm_d = jnp.ones((C, Ln), bool)
 
     @jax.jit
-    def cross(carry, params, tf, gf, tm, nm):
+    def cross(carry, params, usage, tf, gf, tm, nm):
+        # quantizer.setup declares the usage-FIFO variable, so the
+        # collection must be present even though cross_attn never reads it
         t_attn, g_attn = model.apply(
-            {"params": params},
+            {"params": params, "usage": usage},
             method=lambda m: m.quantize.cross_attn(
                 tf, gf, v1_mask=tm, v2_mask=nm, deterministic=True),
         )
@@ -165,7 +167,7 @@ def main() -> None:
         "shape": f"C={C} lmax={LMAX} Ln={Ln} Epg={Epg}",
         "full_ms": chain(full, params, usage, flat, gi, tm, batch),
         "gather_project_ms": chain(gather_project, params, flat, gi),
-        "cross_attn_ms": chain(cross, params, tf_d, gf_d, tm, nm_d),
+        "cross_attn_ms": chain(cross, params, usage, tf_d, gf_d, tm, nm_d),
         "sweep_shared_1x_ms": chain(sweep_shared, params, z_d),
         "sweep_specific_1x_ms": chain(sweep_specific, params, z_d),
         "gcn_light_ms": chain(gcn_light, params, batch),
