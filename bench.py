@@ -596,9 +596,8 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
         seg, pos, _, _ = derive_packed_meta(
             flat_base, tlens, num_rows=R, row_len=P, lmax=1
         )
-        pm = (seg[:, :, None] == seg[:, None, :]) & (seg[:, :, None] > 0)
         flat = model.apply(
-            {"params": params}, ids.astype(jnp.int32), pm, pos,
+            {"params": params}, ids.astype(jnp.int32), seg, pos,
             method=MultimodalTokenizer.encode_text_packed,
         )
         _, _, gidx, tmask = derive_packed_meta(

@@ -30,6 +30,13 @@ class TextEncoderConfig:
     hidden_dropout: float = 0.1
     attention_dropout: float = 0.1
     pad_token_id: int = 0
+    # Fused block-diagonal attention (ops/flash_attention.py::
+    # packed_segment_attention) on the sequence-packed path when the caller
+    # provides segment ids. Avoids the [R, H, P, P] fp32 logits HBM
+    # round-trip; with P=128 = one key tile the online softmax runs a
+    # single iteration, so the math is a plain fp32 max-subtracted softmax
+    # (measured vs the dense XLA path in tests/test_packing.py).
+    packed_flash: bool = True
 
 
 @dataclass(frozen=True)

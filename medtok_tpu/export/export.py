@@ -167,9 +167,8 @@ def _export_all_packed(
         seg, pos, _, _ = derive_packed_meta(
             flat_base, tlens, num_rows=R2, row_len=P2, lmax=1
         )
-        pm = (seg[:, :, None] == seg[:, None, :]) & (seg[:, :, None] > 0)
         return model.apply(
-            {"params": params}, ids.astype(jnp.int32), pm, pos,
+            {"params": params}, ids.astype(jnp.int32), seg, pos,
             method=MultimodalTokenizer.encode_text_packed,
         )
 

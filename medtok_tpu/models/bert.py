@@ -24,9 +24,16 @@ class BertSelfAttention(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask, *, deterministic=True):
+    def __call__(self, x, mask, *, deterministic=True, segments=None):
         """mask: [B, L] key mask, or [B, L, L] pairwise mask (sequence
-        packing: block-diagonal over the packed segments)."""
+        packing: block-diagonal over the packed segments).
+
+        segments: optional [B, L] int32 packed-segment ids (0 = padding).
+        When given with cfg.packed_flash and deterministic, attention runs
+        through the fused block-diagonal Pallas kernel instead of the dense
+        masked softmax (same masking semantics for every consumed position;
+        all-padding query rows return 0 where dense returns a uniform
+        average — such rows are never gathered downstream)."""
         c = self.cfg
         H = c.num_heads
         Dh = c.hidden_size // H
@@ -37,6 +44,18 @@ class BertSelfAttention(nn.Module):
         q = q.reshape(B, L, H, Dh).transpose(0, 2, 1, 3)
         k = k.reshape(B, L, H, Dh).transpose(0, 2, 1, 3)
         v = v.reshape(B, L, H, Dh).transpose(0, 2, 1, 3)
+        if segments is not None and c.packed_flash and deterministic:
+            from medtok_tpu.ops.flash_attention import packed_segment_attention
+
+            out = packed_segment_attention(
+                q, k, v, segments, sm_scale=1.0 / float(np.sqrt(Dh)),
+                interpret=jax.default_backend() != "tpu",
+            )
+            return out.transpose(0, 2, 1, 3).reshape(B, L, c.hidden_size)
+        if segments is not None:
+            mask = (segments[:, :, None] == segments[:, None, :]) & (
+                segments[:, :, None] > 0
+            )
         logits = jnp.einsum(
             "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
         ) / np.sqrt(Dh)
@@ -54,10 +73,10 @@ class BertLayer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask, *, deterministic=True):
+    def __call__(self, x, mask, *, deterministic=True, segments=None):
         c = self.cfg
         attn = BertSelfAttention(c, self.dtype, name="attention")(
-            x, mask, deterministic=deterministic
+            x, mask, deterministic=deterministic, segments=segments
         )
         attn = nn.Dense(c.hidden_size, dtype=self.dtype, name="attention_output")(attn)
         if not deterministic:
@@ -83,12 +102,16 @@ class BertEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, input_ids, attention_mask, *, position_ids=None,
-                 deterministic=True):
+                 deterministic=True, segments=None):
         """attention_mask: [B, L], or [B, L, L] pairwise (sequence packing).
         position_ids: [B, L] — packed rows pass within-segment offsets so
-        each segment sees the same absolute positions as unpacked."""
+        each segment sees the same absolute positions as unpacked.
+        segments: optional [B, L] packed-segment ids (0 = padding) enabling
+        the fused block-diagonal attention path; attention_mask may then be
+        None (each layer derives masking from the segments)."""
         c = self.cfg
-        mask = attention_mask.astype(bool)
+        mask = (attention_mask.astype(bool)
+                if attention_mask is not None else None)
         L = input_ids.shape[1]
         word = nn.Embed(c.vocab_size, c.hidden_size, dtype=self.dtype,
                         name="word_embeddings")(input_ids)
@@ -104,7 +127,7 @@ class BertEncoder(nn.Module):
             x = nn.Dropout(c.hidden_dropout)(x, deterministic=False)
         for i in range(c.num_layers):
             x = BertLayer(c, self.dtype, name=f"layer_{i}")(
-                x, mask, deterministic=deterministic
+                x, mask, deterministic=deterministic, segments=segments
             )
         return x
 

@@ -68,9 +68,9 @@ class MultimodalTokenizer(nn.Module):
             assert not (train and c.text_dropout_in_train), (
                 "packed text encoding requires text_dropout_in_train=False"
             )
-            seg = packed.seg_ids
-            pm = (seg[:, :, None] == seg[:, None, :]) & (seg[:, :, None] > 0)
-            flat = self.encode_text_packed(packed.input_ids, pm, packed.pos_ids)
+            flat = self.encode_text_packed(
+                packed.input_ids, packed.seg_ids, packed.pos_ids
+            )
             text_hidden = flat[packed.gather_idx]          # [B, Lmax, 768]
         else:
             text_hidden = self._encode_text(
@@ -159,14 +159,23 @@ class MultimodalTokenizer(nn.Module):
         ).astype(jnp.float32)
         return TokenizedCodes(embedding, tokens, weights)
 
-    def encode_text_packed(self, packed_ids, pairwise_mask, pos_ids):
+    def encode_text_packed(self, packed_ids, mask_or_segments, pos_ids):
         """Frozen BERT over PACKED rows (data/packing.py): [R, P] ids with a
         block-diagonal mask + within-segment positions -> flat [R*P, 768]
-        hidden states. One static shape serves the whole export sweep."""
+        hidden states. One static shape serves the whole export sweep.
+
+        mask_or_segments: [R, P, P] bool pairwise mask (dense attention), or
+        [R, P] int32 segment ids (0 = padding) — the segment form routes
+        through the fused block-diagonal Pallas attention when
+        cfg.text.packed_flash is set (same masking semantics)."""
+        if mask_or_segments.ndim == 2:
+            kw = {"attention_mask": None,
+                  "segments": mask_or_segments.astype(jnp.int32)}
+        else:
+            kw = {"attention_mask": mask_or_segments, "segments": None}
         text_hidden = jax.lax.stop_gradient(
             self.text_model(
-                packed_ids, pairwise_mask, position_ids=pos_ids,
-                deterministic=True,
+                packed_ids, position_ids=pos_ids, deterministic=True, **kw,
             )
         )                                              # [R, P, 768]
         return text_hidden.reshape(-1, text_hidden.shape[-1])

@@ -424,6 +424,136 @@ def flash_attention(
     return out.reshape(B, H, Lqp, Dh)[:, :, :Lq, :]
 
 
+def _flash_seg_kernel(
+    q_ref, k_ref, v_ref, sq_ref, sk_ref, o_ref,
+    m_scratch, l_scratch, acc_scratch,
+    *, sm_scale: float, precision,
+):
+    """Forward-only flash tile with a SEGMENT-pair mask: query i attends key
+    j iff seg_i == seg_j and seg_i > 0 (block-diagonal packed-sequence
+    attention). seg == 0 marks padding; all-masked query rows output 0."""
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        m_scratch[:] = jnp.full_like(m_scratch, _MASKED)
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    q = q_ref[0]                     # [bq, Dh]
+    k = k_ref[0]                     # [bk, Dh]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=precision,
+    ) * sm_scale                     # [bq, bk]
+    sq = sq_ref[0]                   # [bq, 1] int32
+    sk = sk_ref[0]                   # [1, bk]
+    valid = (sq == sk) & (sq > 0)    # [bq, bk]
+    s = jnp.where(valid, s, _MASKED)
+
+    m_prev = m_scratch[:]
+    l_prev = l_scratch[:]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.where(valid, jnp.exp(s - m_next[:, :1]), 0.0)
+    l_scratch[:] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    m_scratch[:] = m_next
+    acc_scratch[:] = acc_scratch[:] * alpha[:, :1] + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+
+    @pl.when(ki == pl.num_programs(2) - 1)
+    def _():
+        l = l_scratch[:, :1]
+        safe_l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scratch[:] / safe_l).astype(o_ref.dtype)
+
+
+def packed_segment_attention(
+    q: jax.Array,                    # [B, H, L, Dh]
+    k: jax.Array,                    # [B, H, L, Dh]
+    v: jax.Array,                    # [B, H, L, Dh]
+    seg_ids: jax.Array,              # [B, L] int32, 0 = padding
+    *,
+    sm_scale: float | None = None,
+    block_q: int = 128,
+    block_k: int = 128,
+    interpret: bool = False,
+    precision: str = "default",
+) -> jax.Array:
+    """Block-diagonal (sequence-packed) attention without materializing the
+    [B, H, L, L] score tensor: softmax is masked to same-segment pairs
+    inside the VMEM tile. FORWARD-ONLY: all inputs are stop-gradient'ed at
+    entry, so differentiating an enclosing function yields ZERO for
+    everything upstream of this op (rather than tracing a JVP through
+    pallas_call, which jax cannot). The one consumer is the frozen text
+    encoder, whose output sits under stop_gradient anyway — the trainer
+    differentiates the full param tree with frozen-subtree masking, and
+    without the entry stop_gradient that linearization would crash.
+
+    At the packed-BERT export shape (R=256, P=128) the whole key range is
+    one tile, so the online-softmax recurrence runs a single iteration —
+    numerically this IS a plain fp32 max-subtracted softmax; the only
+    difference from the dense XLA path is that the 200 MB/layer fp32 logits
+    never round-trip HBM (measured 22.3 -> ~8 ms per 12-layer attention
+    stack, scripts/profile_bert.py)."""
+    q = jax.lax.stop_gradient(q)
+    k = jax.lax.stop_gradient(k)
+    v = jax.lax.stop_gradient(v)
+    B, H, L, Dh = q.shape
+    if sm_scale is None:
+        sm_scale = 1.0 / float(np.sqrt(Dh))
+    block_q = min(block_q, max(L, 8))
+    block_k = min(block_k, max(L, 8))
+    if not interpret:
+        block_q = -(-block_q // 8) * 8
+        block_k = -(-block_k // 128) * 128
+    pq = (-L) % block_q
+    pk = (-L) % block_k
+    seg = seg_ids.astype(jnp.int32)
+    qp, kp, vp = q, k, v
+    if pq or pk:
+        # pad queries/keys with seg 0 (masked); padded query rows output 0
+        qp = jnp.pad(q, ((0, 0), (0, 0), (0, pq), (0, 0)))
+        kp = jnp.pad(k, ((0, 0), (0, 0), (0, pk), (0, 0)))
+        vp = jnp.pad(v, ((0, 0), (0, 0), (0, pk), (0, 0)))
+    seg_col = jnp.pad(seg, ((0, 0), (0, pq)))[:, :, None]   # [B, Lq, 1]
+    seg_row = jnp.pad(seg, ((0, 0), (0, pk)))[:, None, :]   # [B, 1, Lk]
+    Lq, Lk = L + pq, L + pk
+    qf = qp.reshape(B * H, Lq, Dh)
+    kf = kp.reshape(B * H, Lk, Dh)
+    vf = vp.reshape(B * H, Lk, Dh)
+    prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+            else jax.lax.Precision.DEFAULT)
+    out = pl.pallas_call(
+        functools.partial(_flash_seg_kernel, sm_scale=float(sm_scale),
+                          precision=prec),
+        grid=(B * H, Lq // block_q, Lk // block_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, Dh), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, block_k, Dh), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, block_k, Dh), lambda b, qi, ki: (b, ki, 0)),
+            # segment ids ship per BATCH row (shared by the H heads); the
+            # lane-dim-1 / sublane-dim-1 blocks satisfy Mosaic's "full array
+            # dim" rule the same way the lse out-spec above does
+            pl.BlockSpec((1, block_q, 1), lambda b, qi, ki: (b // H, qi, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda b, qi, ki: (b // H, 0, ki)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, Dh), lambda b, qi, ki: (b, qi, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, Dh), jnp.float32),
+        ],
+        out_shape=jax.ShapeDtypeStruct((B * H, Lq, Dh), q.dtype),
+        interpret=interpret,
+    )(qf, kf, vf, seg_col, seg_row)
+    return out.reshape(B, H, Lq, Dh)[:, :, :L, :]
+
+
 def reference_attention(q, k, v, key_mask=None, *, sm_scale=None,
                         precision="highest"):
     """Dense O(L^2) reference (the models/layers.py math) for testing.

@@ -73,9 +73,8 @@ def main() -> None:
         seg, pos, _, _ = derive_packed_meta(
             flat_base, tlens, num_rows=R, row_len=P, lmax=1
         )
-        pm = (seg[:, :, None] == seg[:, None, :]) & (seg[:, :, None] > 0)
         flat = model.apply(
-            {"params": params}, ids.astype(jnp.int32), pm, pos,
+            {"params": params}, ids.astype(jnp.int32), seg, pos,
             method=MultimodalTokenizer.encode_text_packed,
         )
         _, _, gidx, tmask = derive_packed_meta(
@@ -158,9 +157,8 @@ def main() -> None:
         seg, pos, _, _ = derive_packed_meta(
             flat_base, tlens, num_rows=R, row_len=P, lmax=1
         )
-        pm = (seg[:, :, None] == seg[:, None, :]) & (seg[:, :, None] > 0)
         flat = model.apply(
-            {"params": params}, ids.astype(jnp.int32), pm, pos,
+            {"params": params}, ids.astype(jnp.int32), seg, pos,
             method=MultimodalTokenizer.encode_text_packed,
         )
         return carry + jnp.sum(flat)

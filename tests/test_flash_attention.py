@@ -250,3 +250,120 @@ def test_ehr_train_config_flash_precision_threading():
                             num_layers=1, flash_attention=False,
                             flash_precision="highest")
     assert EHRTrainer(cfg_hi, table, num_class=2).model.flash_precision == "highest"
+
+
+# ----------------------------------------------------------------- packed --
+# Segment-masked forward-only kernel (packed BERT path).
+
+
+def _seg_dense_ref(q, k, v, seg):
+    pm = (seg[:, :, None] == seg[:, None, :]) & (seg[:, :, None] > 0)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) / np.sqrt(q.shape[-1])
+    s = jnp.where(pm[:, None, :, :], s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+    # all-padding query rows: kernel returns 0 (dense gives uniform avg)
+    return jnp.where((seg > 0)[:, None, :, None], out, 0.0)
+
+
+@pytest.mark.parametrize("L,bq,bk", [(24, 8, 8), (40, 16, 16), (64, 64, 64)])
+def test_packed_segment_attention_matches_dense(L, bq, bk):
+    from medtok_tpu.ops.flash_attention import packed_segment_attention
+
+    rng = np.random.default_rng(7)
+    B, H, Dh = 3, 2, 16
+    q = _rand(rng, B, H, L, Dh)
+    k = _rand(rng, B, H, L, Dh)
+    v = _rand(rng, B, H, L, Dh)
+    # packed rows: consecutive segments of random length, trailing padding;
+    # one row entirely padding (all-masked queries)
+    seg = np.zeros((B, L), np.int32)
+    for b in range(B - 1):
+        pos, s = 0, 1
+        while pos < L - 3:
+            ln = int(rng.integers(2, 9))
+            seg[b, pos:pos + ln] = s
+            pos += ln
+            s += 1
+    segj = jnp.asarray(seg)
+    out = packed_segment_attention(q, k, v, segj, block_q=bq, block_k=bk,
+                                   interpret=True)
+    ref = _seg_dense_ref(q, k, v, segj)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_packed_segment_attention_multiblock_recurrence():
+    """L spans several key blocks so the online-softmax recurrence actually
+    iterates (the export shape is single-block; this guards the general
+    case)."""
+    from medtok_tpu.ops.flash_attention import packed_segment_attention
+
+    rng = np.random.default_rng(11)
+    B, H, L, Dh = 2, 2, 96, 8
+    q = _rand(rng, B, H, L, Dh)
+    k = _rand(rng, B, H, L, Dh)
+    v = _rand(rng, B, H, L, Dh)
+    seg = np.zeros((B, L), np.int32)
+    # one long segment crossing block boundaries + several short ones
+    seg[0, :50] = 1
+    seg[0, 50:80] = 2
+    seg[1, :8] = 1
+    seg[1, 8:90] = 2
+    segj = jnp.asarray(seg)
+    out = packed_segment_attention(q, k, v, segj, block_q=16, block_k=16,
+                                   interpret=True)
+    ref = _seg_dense_ref(q, k, v, segj)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_encode_text_packed_flash_matches_dense():
+    """Model-level: encode_text_packed with segment ids (flash path) equals
+    the pairwise-mask dense path for every consumed (seg>0) position."""
+    from medtok_tpu.config import ModelConfig, TextEncoderConfig
+    from medtok_tpu.data.synthetic import random_code_batch
+    from medtok_tpu.models.tokenizer_model import MultimodalTokenizer
+
+    tc = TextEncoderConfig(vocab_size=120, hidden_size=32, num_layers=2,
+                           num_heads=4, intermediate_size=64,
+                           max_position_embeddings=64, packed_flash=True)
+    # fp32 compute: in bf16 the two paths differ at rounding-order level
+    # (dense normalizes probabilities before the bf16 cast, the kernel
+    # after the fp32-accumulated matmul) — the kernel itself is checked
+    # exactly above
+    cfg = ModelConfig(text=tc, compute_dtype="float32")
+    model = MultimodalTokenizer(cfg)
+    rng = np.random.default_rng(3)
+    batch = jax.tree.map(jnp.asarray, random_code_batch(
+        rng, batch=4, text_len=8, max_nodes=8, max_edges_per_graph=16,
+        text_vocab=tc.vocab_size, num_kg_nodes=cfg.graph.num_nodes,
+    ))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, train=False,
+    )
+    params = variables["params"]
+
+    R, P = 2, 24
+    ids = jnp.asarray(rng.integers(1, 120, (R, P)), jnp.int32)
+    seg = np.zeros((R, P), np.int32)
+    seg[0, :6], seg[0, 6:15], seg[1, :10] = 1, 2, 1
+    segj = jnp.asarray(seg)
+    pos = jnp.asarray(np.tile(np.arange(P) % 6, (R, 1)), jnp.int32)
+    pm = (segj[:, :, None] == segj[:, None, :]) & (segj[:, :, None] > 0)
+
+    flat_flash = model.apply(
+        {"params": params}, ids, segj, pos,
+        method=MultimodalTokenizer.encode_text_packed,
+    )
+    flat_dense = model.apply(
+        {"params": params}, ids, pm, pos,
+        method=MultimodalTokenizer.encode_text_packed,
+    )
+    valid = np.asarray(seg.reshape(-1) > 0)
+    np.testing.assert_allclose(
+        np.asarray(flat_flash)[valid], np.asarray(flat_dense)[valid],
+        rtol=2e-5, atol=2e-5,
+    )
