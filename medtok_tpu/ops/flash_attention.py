@@ -431,45 +431,177 @@ def _flash_seg_kernel(
 ):
     """Forward-only flash tile with a SEGMENT-pair mask: query i attends key
     j iff seg_i == seg_j and seg_i > 0 (block-diagonal packed-sequence
-    attention). seg == 0 marks padding; all-masked query rows output 0."""
+    attention). seg == 0 marks padding; all-masked query rows output 0.
+
+    One grid cell handles ALL H heads of a batch row ([H, bq, Dh] blocks,
+    batched dot_generals): a per-(b, h) grid at the packed-BERT shape
+    (R=256, H=12, P=128) is 3072 cells of tiny [128, 64] work where
+    per-cell overhead dominates — measured SLOWER than dense (33 vs 22 ms
+    per 12-layer stack); head-blocked it drops to ~6 ms."""
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
     def _():
-        m_scratch[:] = jnp.full_like(m_scratch, _MASKED)
-        l_scratch[:] = jnp.zeros_like(l_scratch)
-        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+        m_scratch[...] = jnp.full_like(m_scratch, _MASKED)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
 
-    q = q_ref[0]                     # [bq, Dh]
-    k = k_ref[0]                     # [bk, Dh]
-    v = v_ref[0]
+    q = q_ref[...]                   # [H, bq, Dh]
+    k = k_ref[...]                   # [H, bk, Dh]
+    v = v_ref[...]
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=precision,
-    ) * sm_scale                     # [bq, bk]
-    sq = sq_ref[0]                   # [bq, 1] int32
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=precision,
+    ) * sm_scale                     # [H, bq, bk]
+    sq = sq_ref[0]                   # [bq, 1] int32 (shared by the heads)
     sk = sk_ref[0]                   # [1, bk]
-    valid = (sq == sk) & (sq > 0)    # [bq, bk]
+    valid = ((sq == sk) & (sq > 0))[None]   # [1, bq, bk]
     s = jnp.where(valid, s, _MASKED)
 
-    m_prev = m_scratch[:]
-    l_prev = l_scratch[:]
+    m_prev = m_scratch[...]          # [H, bq, LANES]
+    l_prev = l_scratch[...]
     m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_next = jnp.maximum(m_prev, m_cur)
     alpha = jnp.exp(m_prev - m_next)
-    p = jnp.where(valid, jnp.exp(s - m_next[:, :1]), 0.0)
-    l_scratch[:] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-    m_scratch[:] = m_next
-    acc_scratch[:] = acc_scratch[:] * alpha[:, :1] + jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+    p = jnp.where(valid, jnp.exp(s - m_next[:, :, :1]), 0.0)
+    l_scratch[...] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    m_scratch[...] = m_next
+    acc_scratch[...] = acc_scratch[...] * alpha[:, :, :1] + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32, precision=precision,
     )
 
     @pl.when(ki == pl.num_programs(2) - 1)
     def _():
-        l = l_scratch[:, :1]
+        l = l_scratch[:, :, :1]
         safe_l = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0] = (acc_scratch[:] / safe_l).astype(o_ref.dtype)
+        o_ref[...] = (acc_scratch[...] / safe_l).astype(o_ref.dtype)
+
+
+def _flash_seg_kernel_nt(
+    q_ref, k_ref, v_ref, sq_ref, sk_ref, o_ref,
+    m_scratch, l_scratch, acc_scratch,
+    *, sm_scale: float, precision,
+):
+    """_flash_seg_kernel with [bq, H, Dh] blocks (the [B, L, H, Dh] array
+    layout that q/k/v projections produce with a FREE reshape): the
+    head-major relayout happens in VMEM via swapaxes instead of as three
+    100 MB HBM transposes per layer outside the kernel."""
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        m_scratch[...] = jnp.full_like(m_scratch, _MASKED)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    q = jnp.swapaxes(q_ref[0], 0, 1)   # [H, bq, Dh]
+    k = jnp.swapaxes(k_ref[0], 0, 1)   # [H, bk, Dh]
+    v = jnp.swapaxes(v_ref[0], 0, 1)
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=precision,
+    ) * sm_scale                     # [H, bq, bk]
+    sq = sq_ref[0]                   # [bq, 1]
+    sk = sk_ref[0]                   # [1, bk]
+    valid = ((sq == sk) & (sq > 0))[None]
+    s = jnp.where(valid, s, _MASKED)
+
+    m_prev = m_scratch[...]
+    l_prev = l_scratch[...]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.where(valid, jnp.exp(s - m_next[:, :, :1]), 0.0)
+    l_scratch[...] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    m_scratch[...] = m_next
+    acc_scratch[...] = acc_scratch[...] * alpha[:, :, :1] + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+
+    @pl.when(ki == pl.num_programs(2) - 1)
+    def _():
+        l = l_scratch[:, :, :1]
+        safe_l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = jnp.swapaxes(
+            (acc_scratch[...] / safe_l), 0, 1
+        ).astype(o_ref.dtype)        # [bq, H, Dh]
+
+
+def packed_segment_attention_nt(
+    q: jax.Array,                    # [B, L, H, Dh]
+    k: jax.Array,                    # [B, L, H, Dh]
+    v: jax.Array,                    # [B, L, H, Dh]
+    seg_ids: jax.Array,              # [B, L] int32, 0 = padding
+    *,
+    sm_scale: float | None = None,
+    block_q: int = 128,
+    block_k: int = 128,
+    interpret: bool = False,
+    precision: str = "default",
+) -> jax.Array:
+    """packed_segment_attention for q/k/v in the PROJECTION layout
+    [B, L, H, Dh] (a free reshape of the [B, L, H*Dh] Dense output):
+    no [B, H, L, Dh] HBM transposes on either side — the head-major
+    relayout happens per-tile in VMEM. Forward-only (inputs are
+    stop-gradient'ed, see packed_segment_attention).
+
+    MEASURED-REJECTED at the packed-BERT shape (R=256, H=12, P=128,
+    scripts/profile_bert.py): 31.8 ms per 12-layer stack vs 10.7 ms for the
+    head-major kernel — the per-tile ``swapaxes(0, 1)`` of a [128, 12, 64]
+    block is a Mosaic sublane relayout that costs ~3x more than the four
+    [B, L, H, Dh] <-> [B, H, L, Dh] HBM transposes it was built to avoid
+    (those are bandwidth-bound, ~0.25 ms/layer total). Kept as the measured
+    A/B record; production uses packed_segment_attention."""
+    q = jax.lax.stop_gradient(q)
+    k = jax.lax.stop_gradient(k)
+    v = jax.lax.stop_gradient(v)
+    B, L, H, Dh = q.shape
+    if sm_scale is None:
+        sm_scale = 1.0 / float(np.sqrt(Dh))
+    block_q = min(block_q, max(L, 8))
+    block_k = min(block_k, max(L, 8))
+    if not interpret:
+        block_q = -(-block_q // 8) * 8
+        block_k = -(-block_k // 128) * 128
+    pq = (-L) % block_q
+    pk = (-L) % block_k
+    seg = seg_ids.astype(jnp.int32)
+    if pq or pk:
+        q = jnp.pad(q, ((0, 0), (0, pq), (0, 0), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, pk), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pk), (0, 0), (0, 0)))
+    seg_col = jnp.pad(seg, ((0, 0), (0, pq)))[:, :, None]   # [B, Lq, 1]
+    seg_row = jnp.pad(seg, ((0, 0), (0, pk)))[:, None, :]   # [B, 1, Lk]
+    Lq, Lk = L + pq, L + pk
+    prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+            else jax.lax.Precision.DEFAULT)
+    out = pl.pallas_call(
+        functools.partial(_flash_seg_kernel_nt, sm_scale=float(sm_scale),
+                          precision=prec),
+        grid=(B, Lq // block_q, Lk // block_k),
+        in_specs=[
+            # 4D blocks: the BLOCK's last two dims (H, Dh) equal the full
+            # array dims, which satisfies Mosaic's sublane/lane rules; a
+            # (1, bq, H, Dh) block is one contiguous HBM range
+            pl.BlockSpec((1, block_q, H, Dh), lambda b, qi, ki: (b, qi, 0, 0)),
+            pl.BlockSpec((1, block_k, H, Dh), lambda b, qi, ki: (b, ki, 0, 0)),
+            pl.BlockSpec((1, block_k, H, Dh), lambda b, qi, ki: (b, ki, 0, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda b, qi, ki: (b, 0, ki)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, H, Dh),
+                               lambda b, qi, ki: (b, qi, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((H, block_q, _LANES), jnp.float32),
+            pltpu.VMEM((H, block_q, _LANES), jnp.float32),
+            pltpu.VMEM((H, block_q, Dh), jnp.float32),
+        ],
+        out_shape=jax.ShapeDtypeStruct((B, Lq, H, Dh), q.dtype),
+        interpret=interpret,
+    )(q, k, v, seg_col, seg_row)
+    return out[:, :L]
 
 
 def packed_segment_attention(
@@ -498,8 +630,11 @@ def packed_segment_attention(
     one tile, so the online-softmax recurrence runs a single iteration —
     numerically this IS a plain fp32 max-subtracted softmax; the only
     difference from the dense XLA path is that the 200 MB/layer fp32 logits
-    never round-trip HBM (measured 22.3 -> ~8 ms per 12-layer attention
-    stack, scripts/profile_bert.py)."""
+    never round-trip HBM (measured 20.6 -> 10.7 ms per 12-layer attention
+    stack on pre-transposed inputs; full encoder 73.6 -> 69.2 ms, the
+    delta narrows because XLA fuses the head transposes into the dense
+    path's einsums but must materialize them around a pallas_call —
+    scripts/profile_bert.py)."""
     q = jax.lax.stop_gradient(q)
     k = jax.lax.stop_gradient(k)
     v = jax.lax.stop_gradient(v)
@@ -531,22 +666,24 @@ def packed_segment_attention(
     out = pl.pallas_call(
         functools.partial(_flash_seg_kernel, sm_scale=float(sm_scale),
                           precision=prec),
-        grid=(B * H, Lq // block_q, Lk // block_k),
+        # one grid cell per (batch row, q block, k block): the H-head block
+        # (leading dim; not sublane/lane-constrained) batches the matmuls
+        grid=(B, Lq // block_q, Lk // block_k),
         in_specs=[
-            pl.BlockSpec((1, block_q, Dh), lambda b, qi, ki: (b, qi, 0)),
-            pl.BlockSpec((1, block_k, Dh), lambda b, qi, ki: (b, ki, 0)),
-            pl.BlockSpec((1, block_k, Dh), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((H, block_q, Dh), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((H, block_k, Dh), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((H, block_k, Dh), lambda b, qi, ki: (b, ki, 0)),
             # segment ids ship per BATCH row (shared by the H heads); the
             # lane-dim-1 / sublane-dim-1 blocks satisfy Mosaic's "full array
             # dim" rule the same way the lse out-spec above does
-            pl.BlockSpec((1, block_q, 1), lambda b, qi, ki: (b // H, qi, 0)),
-            pl.BlockSpec((1, 1, block_k), lambda b, qi, ki: (b // H, 0, ki)),
+            pl.BlockSpec((1, block_q, 1), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda b, qi, ki: (b, 0, ki)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, Dh), lambda b, qi, ki: (b, qi, 0)),
+        out_specs=pl.BlockSpec((H, block_q, Dh), lambda b, qi, ki: (b, qi, 0)),
         scratch_shapes=[
-            pltpu.VMEM((block_q, _LANES), jnp.float32),
-            pltpu.VMEM((block_q, _LANES), jnp.float32),
-            pltpu.VMEM((block_q, Dh), jnp.float32),
+            pltpu.VMEM((H, block_q, _LANES), jnp.float32),
+            pltpu.VMEM((H, block_q, _LANES), jnp.float32),
+            pltpu.VMEM((H, block_q, Dh), jnp.float32),
         ],
         out_shape=jax.ShapeDtypeStruct((B * H, Lq, Dh), q.dtype),
         interpret=interpret,

@@ -168,6 +168,38 @@ def main() -> None:
             x = (x - m2)
         return carry + jnp.sum(x).astype(jnp.float32)
 
+    qh = jnp.asarray(rng.standard_normal((R, NH, P, Dh)) * 0.3, jnp.bfloat16)
+    seg1 = seg
+
+    @jax.jit
+    def kernel_only(carry, qh, seg1):
+        from medtok_tpu.ops.flash_attention import packed_segment_attention
+        x = qh
+        for _ in range(NL):
+            x = packed_segment_attention(x, x, x, seg1)
+        return carry + jnp.sum(x).astype(jnp.float32)
+
+    qn = jnp.asarray(rng.standard_normal((R, P, NH, Dh)) * 0.3, jnp.bfloat16)
+
+    @jax.jit
+    def kernel_nt_only(carry, qn, seg1):
+        from medtok_tpu.ops.flash_attention import packed_segment_attention_nt
+        x = qn
+        for _ in range(NL):
+            x = packed_segment_attention_nt(x, x, x, seg1)
+        return carry + jnp.sum(x).astype(jnp.float32)
+
+    @jax.jit
+    def dense_core_only(carry, qh, pm):
+        x = qh
+        for _ in range(NL):
+            logits = jnp.einsum("bhqd,bhkd->bhqk", x, x,
+                                preferred_element_type=jnp.float32) / np.sqrt(Dh)
+            logits = jnp.where(pm[:, None, :, :], logits, -1e9)
+            attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+            x = jnp.einsum("bhqk,bhkd->bhqd", attn, x)
+        return carry + jnp.sum(x).astype(jnp.float32)
+
     @jax.jit
     def embed_ln(carry, params, ids, pos):
         p = params["text_model"]
@@ -185,6 +217,11 @@ def main() -> None:
         "attn_core_fp32_ms": chain(attn_core, x0, pm, name="attn_fp32"),
         "attn_core_bf16_ms": chain(attn_bf16, x0, pm, name="attn_bf16"),
         "ln_gelu_ms": chain(ln_gelu, x0, W1, name="ln_gelu"),
+        "kernel_only_ms": chain(kernel_only, qh, seg1, name="kernel_only"),
+        "kernel_nt_only_ms": chain(kernel_nt_only, qn, seg1,
+                                   name="kernel_nt_only"),
+        "dense_core_only_ms": chain(dense_core_only, qh, pm,
+                                    name="dense_core_only"),
     }
     gemm_flops = R * P * tc.num_layers * (8 * H * H + 4 * H * I)
     out["gemm_roofline_ms"] = round(1e3 * gemm_flops / 197e12, 2)

@@ -367,3 +367,32 @@ def test_encode_text_packed_flash_matches_dense():
         np.asarray(flat_flash)[valid], np.asarray(flat_dense)[valid],
         rtol=2e-5, atol=2e-5,
     )
+
+
+def test_packed_segment_attention_nt_matches_bhld():
+    """[B, L, H, Dh]-layout kernel == the [B, H, L, Dh] one == dense."""
+    from medtok_tpu.ops.flash_attention import (
+        packed_segment_attention,
+        packed_segment_attention_nt,
+    )
+
+    rng = np.random.default_rng(13)
+    B, H, L, Dh = 2, 3, 40, 16
+    q = _rand(rng, B, H, L, Dh)
+    k = _rand(rng, B, H, L, Dh)
+    v = _rand(rng, B, H, L, Dh)
+    seg = np.zeros((B, L), np.int32)
+    seg[0, :7], seg[0, 7:30], seg[1, :20] = 1, 2, 1
+    segj = jnp.asarray(seg)
+    ref = packed_segment_attention(q, k, v, segj, block_q=16, block_k=16,
+                                   interpret=True)
+    out = packed_segment_attention_nt(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3), segj, block_q=16, block_k=16,
+        interpret=True,
+    ).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+    dense = _seg_dense_ref(q, k, v, segj)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(dense),
+                               rtol=2e-5, atol=2e-5)
