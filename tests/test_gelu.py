@@ -53,16 +53,18 @@ def test_gelu_bf16_exhaustive_accuracy():
     aerr = np.where(finite, np.abs(gv - t64), 0.0)
     assert float(aerr.max()) <= 0.010, float(aerr.max())
 
-    # saturation regions are EXACT: x for x > 2.765625, 0 for x < -8.3125
+    # saturation regions are EXACT: x for x > 2.765625, 0 for x < -7.76
     hi = finite & (x64 > 2.766)
     np.testing.assert_array_equal(gv[hi], x64[hi])
-    lo = finite & (x64 < -8.32)
+    lo = finite & (x64 < -7.76)
     assert np.all(gv[lo] == 0.0)
 
     # every mismatch in the fit window is a SINGLE-ulp flip (big ulp
-    # distances only occur below the x < -8.3125 cutoff, where truth is
-    # <= 2e-16 — twelve orders below bf16 visibility next to any O(1)
-    # activation — and the op returns exactly 0)
+    # distances only occur below the x < -7.76 cutoff, where truth is
+    # <= 3e-14 — thirteen orders below bf16 visibility next to any O(1)
+    # activation — and the op returns exactly 0; between -7.8 and -8.3
+    # the Horner tail is fma-contraction-sensitive, so single-ulp there
+    # held on TPU but not on CPU, hence the cutoff placement)
     def okey(b):
         m = (b & 0x7FFF).astype(np.int64)
         return np.where((b >> 15) & 1 == 1, -m, m)
@@ -72,10 +74,10 @@ def test_gelu_bf16_exhaustive_accuracy():
     # (subnormal inputs/outputs are excluded: the TPU flushes them to zero
     # in EVERY gelu variant including the production erfc — gelu(x)~x/2
     # there, so both truth and output are < 1.2e-38)
-    window = finite & (x64 >= -8.3125) & (np.abs(t64) >= 1.2e-38)
+    window = finite & (x64 >= -7.76) & (np.abs(t64) >= 1.2e-38)
     assert int(du[window].max()) <= 1, int(du[window].max())
-    below = finite & (x64 < -8.3125)
-    assert float(np.abs(t64[below]).max()) < 1e-15
+    below = finite & (x64 < -7.76)
+    assert float(np.abs(t64[below]).max()) < 1e-13
 
 
 def test_bert_gelu_fp32_is_exact_erfc():
