@@ -501,7 +501,7 @@ def emit_result(jax, jnp, wall, t_tok, checksum, extra) -> None:
             kernel[f"{fn.__name__}_error"] = f"{type(e).__name__}: {e}"[:200]
     n_chips = jax.device_count()
     codes_per_sec = N_CODES / wall
-    print(json.dumps({
+    full = {
         "metric": "codes_per_sec_e2e_600k_tokenize_embed",
         "value": round(codes_per_sec, 1),
         "unit": "codes/s",
@@ -515,7 +515,38 @@ def emit_result(jax, jnp, wall, t_tok, checksum, extra) -> None:
         "checksum": checksum,
         **extra,
         **kernel,
-    }))
+    }
+    # Full dict -> sidecar file + first stdout line. The driver artifact
+    # keeps only the LAST ~2000 chars of stdout (BENCH_r04.json lost the
+    # headline keys to that truncation — VERDICT r4 item 1), so the final
+    # stdout line is a COMPACT (<1500 char) headline-only object that the
+    # driver can always parse whole; gen_headline.py re-joins it with the
+    # sidecar via the checksum.
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "docs", "BENCH_FULL.json")
+    try:
+        os.makedirs(os.path.dirname(sidecar), exist_ok=True)
+        with open(sidecar, "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(full))
+    compact_keys = (
+        "metric", "value", "unit", "vs_baseline", "num_codes", "wall_s",
+        "tokenize_s", "n_chips", "checksum", "mfu_export",
+        "device_busy_est_s", "pack_row_utilization", "n_steps",
+        "host_spin_ms", "mfu_train", "train_packed_step_ms_b1024",
+        "train_pack_speedup", "kernel_speedup", "kernel_indices_exact",
+        "flash_b256_ms", "ehr_train_step_ms_b256", "qa_finetune_step_ms",
+    )
+    compact = {k: full[k] for k in compact_keys if k in full}
+    hp = full.get("host_phases_s")
+    if isinstance(hp, dict):
+        compact["host_make_batch_s"] = hp.get("make_batch")
+    compact["full"] = "docs/BENCH_FULL.json"
+    line = json.dumps(compact)
+    assert len(line) <= 1500, f"compact headline line too long: {len(line)}"
+    print(line)
 
 
 def _native_stats() -> dict:

@@ -19,16 +19,46 @@ START = "<!-- BENCH_TABLE_START -->"
 END = "<!-- BENCH_TABLE_END -->"
 
 
-def latest_bench() -> tuple[str, dict]:
-    benches = sorted(ROOT.glob("BENCH_r*.json"))
-    if not benches:
-        sys.exit("no BENCH_r*.json found")
-    path = benches[-1]
+def parse_bench(path: Path) -> dict | None:
     raw = json.loads(path.read_text())
     d = raw.get("parsed", raw)
     if isinstance(d, str):
         d = json.loads(d)
-    return path.name, d
+    if d is None:
+        # The driver keeps only the last ~2000 chars of stdout; recover the
+        # compact headline line bench.py prints LAST (VERDICT r4 item 1).
+        for line in reversed(raw.get("tail", "").strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{") and line.endswith("}"):
+                try:
+                    d = json.loads(line)
+                    break
+                except json.JSONDecodeError:
+                    continue
+    if not isinstance(d, dict) or "value" not in d:
+        return None
+    # Re-join the compact headline with the full sidecar dict written by the
+    # same bench run (matched via checksum so a stale sidecar can't lie).
+    if "full" in d:
+        fp = ROOT / str(d["full"])
+        if fp.exists():
+            full = json.loads(fp.read_text())
+            if full.get("checksum") == d.get("checksum"):
+                d = {**full, **d}
+    return d
+
+
+def latest_bench() -> tuple[str, dict]:
+    benches = sorted(ROOT.glob("BENCH_r*.json"))
+    if not benches:
+        sys.exit("no BENCH_r*.json found")
+    # Newest artifact whose headline survived the driver's stdout capture
+    # (BENCH_r04's giant single line was truncated away — VERDICT r4 item 1).
+    for path in reversed(benches):
+        d = parse_bench(path)
+        if d is not None:
+            return path.name, d
+    sys.exit("no BENCH_r*.json with a parseable headline line")
 
 
 def fmt(x, nd=1):
@@ -109,6 +139,15 @@ def build_table(src: str, d: dict) -> str:
                     f"`python scripts/gen_headline.py`).", "",
              "| metric | measured |", "|---|---|"]
     lines += [f"| {k} | {v} |" for k, v in rows]
+    lines += [
+        "",
+        "*Timing-method note: kernel/step rows in `BENCH_r01`–`BENCH_r03` "
+        "used per-call fetch timing, which inflated sub-100 ms device "
+        "timings 2–10× through the device tunnel (fixed in r4, commits "
+        "4e60a99/8ac6b55 — amortized chained timing). Historical rows from "
+        "r1–r3 are NOT comparable to r4+ rows; the raw JSONs are kept "
+        "immutable.*",
+    ]
     lines.append(END)
     return "\n".join(lines)
 
