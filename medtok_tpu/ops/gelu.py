@@ -16,16 +16,23 @@ BF16 RESOLUTION (the dtype of the packed production forward):
     sensitivity (1 - tanh) so the negative tail (where 1+tanh ~ 2*exp(2p)
     must track erfc's exp decay in RELATIVE terms) is fit tightest.
 
-Outside the window the function saturates in bf16 and two selects give the
-limit values exactly: gelu(x) rounds to x for x > 2.765625 (exhaustive
-check over all finite bf16 inputs), and the op returns 0 for x < -7.76.
-The zero cutoff sits where |gelu(x)| <= 3e-14 — thirteen orders below any
-O(1) activation, invisible through the bf16 FFN matmul that consumes it —
-rather than at the last representable magnitude (~ -8.3): between -7.8 and
--8.3 the degree-11 Horner evaluation is fma-contraction-sensitive (terms
-of O(30) cancel to O(20)), so the tail's last few bf16 outputs differ by
-dozens of ulps between backends while every magnitude >= 4e-14 stays
-single-ulp on all of them.
+Outside the window the function saturates in bf16 and two selects take
+over, with DIFFERENT guarantees:
+
+- upper, x > 2.765625: returns x, which IS the round-to-nearest bf16 of
+  gelu(x) for every such input (exhaustive check over all finite bf16) —
+  exact in the rounding sense;
+- lower, x < -7.76: returns a POLICY ZERO. Round-to-nearest bf16 truth is
+  still nonzero for the 13 bf16 values in [-8.3125, -7.76) (truth up to
+  2.8e-14), so this select is an intentional flush-to-zero of
+  sub-visibility magnitudes, not exact rounding. |gelu(x)| <= 3e-14 there
+  — thirteen orders below any O(1) activation, invisible through the bf16
+  FFN matmul that consumes it. The cutoff sits at -7.76 rather than the
+  representability edge (~-8.3) because between -7.8 and -8.3 the
+  degree-11 Horner evaluation is fma-contraction-sensitive (terms of
+  O(30) cancel to O(20)): the tail's last few bf16 outputs differ by
+  dozens of ulps between backends, while every magnitude >= 4e-14 stays
+  single-ulp on all of them.
 
 Accuracy, measured exhaustively over all 65536 bf16 inputs against
 float64 truth rounded-to-nearest-bf16 (scripts/profile_bert_ab.py probe,
@@ -80,6 +87,11 @@ def gelu_bf16(x: jax.Array) -> jax.Array:
     Input of any float dtype; the polynomial+tanh run in fp32 and the
     result is cast back.  Only intended (and only dispatched by callers)
     for bf16 activations — use ``nn.gelu(x, approximate=False)`` for fp32.
+
+    The x < _X_LO select flushes the BACKWARD pass to zero there too (the
+    ``where`` zeroes the cotangent): true gelu'(x) is O(1e-13) below the
+    cutoff, negligible at bf16 resolution but an additional behavioral
+    difference from the erfc path beyond the forward value.
     """
     xf = x.astype(jnp.float32)
     q = jnp.float32(_P_COEF[-1])

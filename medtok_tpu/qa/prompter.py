@@ -36,6 +36,40 @@ TEMPLATES: dict[str, dict] = {
         "prompt_no_input": "### Instruction:\n{instruction}\n\n### Response:\n",
         "response_split": "### Response:",
     },
+    # templates/alpaca_legacy.json — same text as alpaca but no trailing
+    # newline after "### Response:" (the only difference)
+    "alpaca_legacy": {
+        "description": "Legacy template, used by Original Alpaca repository.",
+        "prompt_input": (
+            "Below is an instruction that describes a task, paired with an "
+            "input that provides further context. Write a response that "
+            "appropriately completes the request.\n\n### Instruction:\n"
+            "{instruction}\n\n### Input:\n{input}\n\n### Response:"
+        ),
+        "prompt_no_input": (
+            "Below is an instruction that describes a task. Write a response "
+            "that appropriately completes the request.\n\n### Instruction:\n"
+            "{instruction}\n\n### Response:"
+        ),
+        "response_split": "### Response:",
+    },
+    # templates/vigogne.json — French Alpaca variant
+    "vigogne": {
+        "description": "French template, used by Vigogne for finetuning.",
+        "prompt_input": (
+            "Ci-dessous se trouve une instruction qui décrit une tâche, "
+            "associée à une entrée qui fournit un contexte supplémentaire. "
+            "Écrivez une réponse qui complète correctement la demande.\n\n"
+            "### Instruction:\n{instruction}\n\n### Entrée:\n{input}\n\n"
+            "### Réponse:\n"
+        ),
+        "prompt_no_input": (
+            "Ci-dessous se trouve une instruction qui décrit une tâche. "
+            "Écrivez une réponse qui complète correctement la demande.\n\n"
+            "### Instruction:\n{instruction}\n\n### Réponse:\n"
+        ),
+        "response_split": "### Réponse:",
+    },
 }
 
 

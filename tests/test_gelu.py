@@ -35,7 +35,9 @@ def _truth_bf16():
 
 
 def test_gelu_bf16_exhaustive_accuracy():
-    from medtok_tpu.ops.gelu import gelu_bf16
+    # derive every region mask from the kernel's own cutoffs so a cutoff
+    # tweak can never desynchronize the test window from the select
+    from medtok_tpu.ops.gelu import _X_HI, _X_LO, gelu_bf16
 
     u, x64, finite, t64, t_bf = _truth_bf16()
     xall = jnp.asarray(u).view(jnp.bfloat16)
@@ -53,14 +55,17 @@ def test_gelu_bf16_exhaustive_accuracy():
     aerr = np.where(finite, np.abs(gv - t64), 0.0)
     assert float(aerr.max()) <= 0.010, float(aerr.max())
 
-    # saturation regions are EXACT: x for x > 2.765625, 0 for x < -7.76
-    hi = finite & (x64 > 2.766)
+    # upper saturation is EXACT rounding: x IS round-to-nearest-bf16 of
+    # gelu(x) for every finite bf16 above the cutoff
+    hi = finite & (x64 > np.float32(_X_HI))
     np.testing.assert_array_equal(gv[hi], x64[hi])
-    lo = finite & (x64 < -7.76)
+    # lower saturation is a POLICY flush-to-zero (truth is nonzero for 13
+    # bf16 inputs in [-8.3125, _X_LO), but <= 3e-14 — see ops/gelu.py)
+    lo = finite & (x64 < np.float32(_X_LO))
     assert np.all(gv[lo] == 0.0)
 
     # every mismatch in the fit window is a SINGLE-ulp flip (big ulp
-    # distances only occur below the x < -7.76 cutoff, where truth is
+    # distances only occur below the x < _X_LO cutoff, where truth is
     # <= 3e-14 — thirteen orders below bf16 visibility next to any O(1)
     # activation — and the op returns exactly 0; between -7.8 and -8.3
     # the Horner tail is fma-contraction-sensitive, so single-ulp there
@@ -74,10 +79,9 @@ def test_gelu_bf16_exhaustive_accuracy():
     # (subnormal inputs/outputs are excluded: the TPU flushes them to zero
     # in EVERY gelu variant including the production erfc — gelu(x)~x/2
     # there, so both truth and output are < 1.2e-38)
-    window = finite & (x64 >= -7.76) & (np.abs(t64) >= 1.2e-38)
+    window = finite & (x64 >= np.float32(_X_LO)) & (np.abs(t64) >= 1.2e-38)
     assert int(du[window].max()) <= 1, int(du[window].max())
-    below = finite & (x64 < -7.76)
-    assert float(np.abs(t64[below]).max()) < 1e-13
+    assert float(np.abs(t64[lo]).max()) < 1e-13
 
 
 def test_bert_gelu_fp32_is_exact_erfc():
