@@ -538,6 +538,7 @@ def emit_result(jax, jnp, wall, t_tok, checksum, extra) -> None:
         "host_spin_ms", "mfu_train", "train_packed_step_ms_b1024",
         "train_pack_speedup", "kernel_speedup", "kernel_indices_exact",
         "flash_b256_ms", "ehr_train_step_ms_b256", "qa_finetune_step_ms",
+        "dispatch_small", "dispatch_small_ok", "dispatch_b256",
     )
     compact = {k: full[k] for k in compact_keys if k in full}
     hp = full.get("host_phases_s")
@@ -1059,6 +1060,13 @@ def flash_ab(jax, jnp) -> dict:
                 times[name].append((time.perf_counter() - t0) / R)
     d_ms = 1e3 * min(times["dense"])
     f_ms = 1e3 * min(times["flash"])
+    # auto-dispatch check (VERDICT r4 item 7): at this FITTING shape the
+    # crossover rule must choose dense — the measured faster path; at the
+    # B=256 regime below it must choose flash — the only feasible path.
+    from medtok_tpu.ops.flash_attention import choose_flash
+
+    picked_small = "flash" if choose_flash(B, H, L, L) else "dense"
+    chosen_ms = f_ms if picked_small == "flash" else d_ms
     out = {
         "flash_numerics_close": close,
         "flash_dense_ms": round(d_ms, 2),
@@ -1068,6 +1076,9 @@ def flash_ab(jax, jnp) -> dict:
         "flash_default_prec_ms": round(1e3 * min(times["flash_def"]), 2),
         "flash_default_prec_abs_err": derr,
         "flash_shape": f"{B}x{H}x{L}x{Dh}",
+        "dispatch_small": picked_small,
+        "dispatch_small_ok": bool(chosen_ms <= min(d_ms, f_ms) * 1.02),
+        "dispatch_b256": "flash" if choose_flash(256, H, L, L) else "dense",
     }
 
     # the real point at this Dh is MEMORY: at the reference EHR batch size

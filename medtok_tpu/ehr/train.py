@@ -123,9 +123,11 @@ class EHRTrainConfig:
     max_medical_code: int = 2000
     early_stop_patience: int = 5
     seed: int = 42
-    # Pallas flash attention in the encoder: True / False / "auto" (= on TPU
-    # with long sequences, where the dense [B,H,L,L] score tensor would cost
-    # ~L^2 memory — 16 GB fp32 at the reference B=256, L=2003)
+    # Pallas flash attention in the encoder: True / False / "auto" (= the
+    # measured HBM crossover, ops/flash_attention.py::choose_flash — flash
+    # only where the dense [B,H,L,L] fp32 score tensors exceed the budget,
+    # e.g. ~16 GB/layer at the reference B=256, L=2003; dense is FASTER
+    # wherever it fits, so auto never picks flash at small shapes)
     flash_attention: bool | str = "auto"
     # attention matmul precision under flash: the training pipeline defaults
     # to single-pass bf16 ('default', 1.58x faster at B=256/Dh=16, ~8e-3 abs
@@ -152,9 +154,17 @@ class EHRTrainer:
         self.mesh = mesh
         use_flash = cfg.flash_attention
         if use_flash == "auto":
-            use_flash = (
-                jax.default_backend() == "tpu"
-                and cfg.max_medical_code + 3 >= 1024
+            from medtok_tpu.ops.flash_attention import choose_flash
+
+            # measured HBM crossover (dense is FASTER wherever its score
+            # tensor fits — flash_speedup 0.89 at fitting shapes): flash
+            # engages only where the dense path's fp32 scores blow the
+            # budget. All num_layers' probs are saved as AD residuals, so
+            # they all count toward the bwd-peak residency.
+            L = cfg.max_medical_code + 3
+            use_flash = choose_flash(
+                cfg.batch_size, cfg.num_heads, L, L,
+                training=True, resident_layers=cfg.num_layers,
             )
         self.model = EHRModel(
             embedding_table=jnp.asarray(embedding_table, jnp.float32),

@@ -39,13 +39,16 @@ class MultiheadAttention(nn.Module):
     score tensor; dropout on attention probabilities is applied inside the
     kernel (counter-hash mask, same semantics as the dense path in
     distribution, not bitwise: flax Dropout draws differ from the kernel's
-    hash draws).
+    hash draws). ``"auto"`` picks the kernel by the measured HBM crossover
+    (ops/flash_attention.py::choose_flash): dense wins wherever its score
+    tensor fits (flash_speedup 0.89 at fitting shapes, BENCH_r04), so flash
+    engages only where dense cannot run. True/False remain hard overrides.
     """
 
     embed_dim: int
     num_heads: int
     dropout: float = 0.0
-    use_flash: bool = False
+    use_flash: bool | str = False
     # 'highest' = bf16x3 exact-fp32 matmuls (parity surfaces); 'default' =
     # single-pass bf16 MXU, 1.58x faster at the EHR shape (~8e-3 abs)
     flash_precision: str = "highest"
@@ -69,7 +72,18 @@ class MultiheadAttention(nn.Module):
         kh = kp.reshape(B, Lk, H, Dh).transpose(0, 2, 1, 3)
         vh = vp.reshape(B, Lk, H, Dh).transpose(0, 2, 1, 3)
 
-        if self.use_flash:
+        use_flash = self.use_flash
+        if use_flash == "auto":
+            from medtok_tpu.ops.flash_attention import choose_flash
+
+            # shapes are static under trace; deterministic=False means the
+            # caller is training (AD residency counts — conservatively one
+            # resident layer at this altitude, callers with deep encoders
+            # should dispatch at the model level with resident_layers)
+            use_flash = choose_flash(
+                B, H, Lq, Lk, training=not deterministic,
+            )
+        if use_flash:
             from medtok_tpu.ops.flash_attention import flash_attention
 
             rate = self.dropout if not deterministic else 0.0

@@ -363,6 +363,80 @@ def _flash_core_bwd(H, sm_scale, dropout_rate, blocks, interpret, precision,
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
+def dense_attention_bytes(
+    batch: int, heads: int, q_len: int, kv_len: int,
+    *, training: bool = False, resident_layers: int = 1,
+) -> float:
+    """Peak HBM the dense-attention path needs for its L^2 score tensors.
+
+    Dense attention materializes fp32 logits and then the softmax
+    probabilities for every [B, H, Lq, Lk] block. Under reverse-mode AD the
+    probabilities are additionally saved as residuals — per layer — until
+    the backward pass consumes them, so a ``resident_layers``-deep encoder
+    keeps ``resident_layers`` score tensors alive at the bwd peak on top of
+    the two (logits + probs) of the layer currently being differentiated.
+    Inference peaks at logits+probs of a single layer (XLA frees the logits
+    buffer once the probs fuse, but budgeting 2 copies is the safe bound
+    the measurements were taken under).
+    """
+    per_layer = 4.0 * batch * heads * q_len * kv_len   # fp32 scores
+    if training:
+        return per_layer * (2.0 + max(resident_layers - 1, 0))
+    return per_layer * 2.0
+
+
+def choose_flash(
+    batch: int, heads: int, q_len: int, kv_len: int,
+    *, training: bool = False, resident_layers: int = 1,
+    budget_bytes: float | None = None, backend: str | None = None,
+) -> bool:
+    """Measured-crossover dispatch between dense and flash attention.
+
+    Where the dense [B, H, L, L] score tensor FITS in HBM, dense is the
+    faster path on this hardware: flash_speedup 0.89 at 32x4x2048x16 in
+    BENCH_r04 (0.96 in r3) — the Pallas kernel's tiling overhead never pays
+    for itself when XLA can stream the whole score tensor. Flash is
+    load-bearing purely on MEMORY grounds: at the reference EHR shape
+    (B=256, H=4, L=2003, 4 layers under grad) dense needs ~16 GB of fp32
+    scores per layer and cannot run at all. So the rule is a memory
+    crossover, not a speed model: use flash iff the dense path's score
+    residency exceeds the budget.
+
+    ``budget_bytes`` defaults to 40% of the device's HBM (the other 60%
+    covers params/optimizer/non-attention activations at the shapes this
+    framework runs; v5e: 16 GiB total -> ~6.4 GiB score budget). Pass an
+    explicit budget for other occupancy profiles.
+
+    On non-TPU backends the answer is always False: the Pallas kernel runs
+    in interpret mode there (orders of magnitude slower), and host memory
+    dwarfs any score tensor these models produce.
+    """
+    if backend is None:
+        backend = jax.default_backend()
+    if backend != "tpu":
+        return False
+    if budget_bytes is None:
+        budget_bytes = 0.4 * _device_hbm_bytes()
+    need = dense_attention_bytes(
+        batch, heads, q_len, kv_len,
+        training=training, resident_layers=resident_layers,
+    )
+    return need > budget_bytes
+
+
+def _device_hbm_bytes() -> float:
+    """Per-device HBM capacity; memory_stats when the backend exposes it,
+    else the v5e figure (16 GiB)."""
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        limit = stats.get("bytes_limit")
+        if limit:
+            return float(limit)
+    except Exception:
+        pass
+    return 16.0 * 2**30
+
+
 def flash_attention(
     q: jax.Array,                    # [B, H, Lq, Dh]
     k: jax.Array,                    # [B, H, Lk, Dh]

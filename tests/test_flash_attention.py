@@ -252,6 +252,92 @@ def test_ehr_train_config_flash_precision_threading():
     assert EHRTrainer(cfg_hi, table, num_class=2).model.flash_precision == "highest"
 
 
+# --------------------------------------------------------------- dispatch --
+# Measured HBM-crossover auto-dispatch (VERDICT r4 item 7): dense wins
+# wherever its score tensor fits (flash_speedup 0.89 at fitting shapes),
+# so "auto" must pick flash ONLY where dense cannot run.
+
+
+def test_choose_flash_memory_crossover():
+    from medtok_tpu.ops.flash_attention import (
+        choose_flash,
+        dense_attention_bytes,
+    )
+
+    GiB = 2**30
+    # the bench's fitting shape (32x4x2048x16, flash 0.89x): ~2 GiB scores,
+    # fits the v5e budget -> dense, for both inference and training
+    for training in (False, True):
+        assert not choose_flash(32, 4, 2048, 2048, training=training,
+                                backend="tpu", budget_bytes=6.4 * GiB)
+    # the reference EHR shape (B=256, H=4, L=2003, 4 layers under grad):
+    # ~16 GB fp32 scores PER LAYER -> flash, even inference
+    assert choose_flash(256, 4, 2003, 2003, training=True,
+                        resident_layers=4, backend="tpu",
+                        budget_bytes=6.4 * GiB)
+    assert choose_flash(256, 4, 2003, 2003, training=False,
+                        backend="tpu", budget_bytes=6.4 * GiB)
+    # non-TPU backends never pick the interpret-mode kernel
+    assert not choose_flash(256, 4, 2003, 2003, training=True,
+                            resident_layers=4, backend="cpu")
+    # the bytes model: training residency grows with resident layers
+    b1 = dense_attention_bytes(256, 4, 2003, 2003, training=True,
+                               resident_layers=1)
+    b4 = dense_attention_bytes(256, 4, 2003, 2003, training=True,
+                               resident_layers=4)
+    per_layer = 4.0 * 256 * 4 * 2003 * 2003
+    assert b4 - b1 == pytest.approx(3 * per_layer)
+
+
+def test_mha_auto_dispatch_is_dense_on_cpu():
+    """use_flash='auto' at a small shape on CPU traces the dense path —
+    bitwise-equal outputs to use_flash=False (the flash kernel's masked-row
+    and precision behaviors would differ detectably)."""
+    from medtok_tpu.models.layers import MultiheadAttention
+
+    rng = np.random.default_rng(3)
+    x = _rand(rng, 2, 24, 32)
+    mask = jnp.asarray(rng.random((2, 24)) > 0.2).at[:, 0].set(True)
+    auto = MultiheadAttention(32, 4, use_flash="auto")
+    dense = MultiheadAttention(32, 4, use_flash=False)
+    params = auto.init({"params": jax.random.PRNGKey(0)}, x, x, x, mask)
+    a = np.asarray(auto.apply(params, x, x, x, mask, deterministic=True))
+    d = np.asarray(dense.apply(params, x, x, x, mask, deterministic=True))
+    np.testing.assert_array_equal(a, d)
+
+
+def test_ehr_auto_dispatch_uses_crossover_rule(monkeypatch):
+    """EHRTrainConfig.flash_attention='auto' routes through choose_flash:
+    the reference shape picks flash on TPU, a small config picks dense, and
+    explicit True/False stay hard overrides."""
+    import medtok_tpu.ops.flash_attention as fa
+    from medtok_tpu.ehr.train import EHRTrainConfig, EHRTrainer
+
+    table = np.zeros((16, 256), np.float32)
+    calls = {}
+
+    def fake_choose(batch, heads, q_len, kv_len, **kw):
+        calls.update(batch=batch, heads=heads, q_len=q_len, **kw)
+        return fa.dense_attention_bytes(
+            batch, heads, q_len, kv_len,
+            training=kw.get("training", False),
+            resident_layers=kw.get("resident_layers", 1),
+        ) > 0.4 * 16 * 2**30  # TPU rule regardless of test backend
+
+    monkeypatch.setattr(fa, "choose_flash", fake_choose)
+    big = EHRTrainConfig(max_medical_code=2000, max_visits=2, batch_size=256,
+                         num_layers=4, flash_attention="auto")
+    assert EHRTrainer(big, table, num_class=2).model.use_flash is True
+    assert calls["q_len"] == 2003 and calls["resident_layers"] == 4
+    assert calls["training"] is True
+    small = EHRTrainConfig(max_medical_code=64, max_visits=2, batch_size=8,
+                           num_layers=1, flash_attention="auto")
+    assert EHRTrainer(small, table, num_class=2).model.use_flash is False
+    forced = EHRTrainConfig(max_medical_code=64, max_visits=2, batch_size=8,
+                            num_layers=1, flash_attention=True)
+    assert EHRTrainer(forced, table, num_class=2).model.use_flash is True
+
+
 # ----------------------------------------------------------------- packed --
 # Segment-masked forward-only kernel (packed BERT path).
 
