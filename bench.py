@@ -544,6 +544,8 @@ def emit_result(jax, jnp, wall, t_tok, checksum, extra) -> None:
     hp = full.get("host_phases_s")
     if isinstance(hp, dict):
         compact["host_make_batch_s"] = hp.get("make_batch")
+        compact["host_make_batch_work_s"] = hp.get("make_batch_work")
+        compact["host_fence_wait_s"] = hp.get("fence_wait")
     compact["full"] = "docs/BENCH_FULL.json"
     line = json.dumps(compact)
     assert len(line) <= 1500, f"compact headline line too long: {len(line)}"
@@ -767,6 +769,15 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
             force_shapes=forced(bi, epg), want_text=False,
         )
         td = time.perf_counter()
+        # fence on the step OUTPUT (compute completion). Measured A/B on
+        # this platform (r5): fencing on explicit jax.device_put input
+        # copies instead made the sweep 39.7 -> 66.7 s — axon h2d copies
+        # complete only after the compute already queued ahead of them, so
+        # a transfer fence over-waits MORE than an output fence, and the
+        # per-leaf device_put calls add per-call overhead. The fence_wait
+        # phase is therefore pipeline BACKPRESSURE (host ahead by the pool
+        # depth), not host pack work — host_phases_s.make_batch_work
+        # reports the fence-free pack cost.
         carry = fused_step(carry, params, usage,
                            jnp.asarray(ids_np.astype(TDT)),
                            jnp.asarray(meta), batch)
@@ -923,7 +934,13 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
         "host_phases_s": {
             "warm": round(t_warm, 2), "tokenize": round(t_tok, 2),
             "group": round(t_group, 2), "pack_texts": round(t_ptext, 2),
-            "make_batch": round(t_mkbatch, 2), "dispatch": round(t_disp, 2),
+            "make_batch": round(t_mkbatch, 2),
+            # make_batch minus the pool-fence block: the fence is pipeline
+            # backpressure (host waiting for the device to catch up, by
+            # design), not pack work — this is the host's true pack cost
+            "make_batch_work": round(
+                t_mkbatch - _native_stats()["fence_wait_s"], 2),
+            "dispatch": round(t_disp, 2),
             "fence_wait": round(_native_stats()["fence_wait_s"], 2),
             "native_pack": round(_native_stats()["pack_s"], 2),
             "tok_encode": round(_tok_stats()["encode_s"], 2),

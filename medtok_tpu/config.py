@@ -71,7 +71,15 @@ class QuantizerConfig:
     cross_attn_layers: int = 2
     cross_attn_dropout: float = 0.1
     usage_buffer_size: int = 300000  # FIFO slots (vq...py:118)
+    # --kmeans mode (train_MedTok.py:89-92): the reference constructs an
+    # EmbeddingEMA codebook but never initializes or updates it
+    # (vector_quantization_soft_one_new.py:109-111 — the codebook would
+    # simply never train). Here the mode is COMPLETED: the codebook becomes
+    # non-gradient EMA state (kmeans-initialized via
+    # train.trainer.kmeans_init_codebook, norm-EMA-updated from the shared
+    # path's top-1 assignments each train step, psum'd over dp).
     use_kmeans: bool = False
+    codebook_ema_decay: float = 0.99  # norm_ema_quantizer.py:166 default
     # distance+top-k sweep backend: 'auto' (pallas on TPU when the shape pays
     # off, see ops/vq._use_pallas), 'xla', or 'pallas'
     topk_backend: str = "auto"

@@ -131,6 +131,12 @@ class _PoolEntry:
         self.fence = None
 
     def set_fence(self, x) -> None:
+        """``x``: a jax array or a list/tuple of them. Fence on the DEVICE
+        COPIES of the entry's buffers (``jax.device_put`` results) — then
+        recycling waits only for the h2d transfer, not the consuming step's
+        compute; fencing on a step OUTPUT is safe but over-waits by the
+        whole device step (measured 27 s of false host 'pack' time on the
+        600K sweep)."""
         self.fence = x
 
     def wait(self) -> None:
@@ -138,7 +144,9 @@ class _PoolEntry:
             import time
 
             t0 = time.perf_counter()
-            self.fence.block_until_ready()
+            for f in (self.fence if isinstance(self.fence, (list, tuple))
+                      else (self.fence,)):
+                f.block_until_ready()
             STATS["fence_wait_s"] += time.perf_counter() - t0
             self.fence = None
 

@@ -253,6 +253,10 @@ def _export_all_packed(
                          jnp.asarray(base_m), jnp.asarray(lens_m))
         out = quant_step(flat, jnp.asarray(base_c), jnp.asarray(lens_c),
                          batch)
+        # fence on the step output: on this platform h2d copies complete
+        # behind already-queued compute, so an input-transfer fence waits
+        # LONGER than the output fence (measured 39.7 -> 66.7 s on the
+        # bench sweep when switched to device_put input fences)
         fence.set_fence(out.embedding)
         inflight.append((group, out))
         if len(inflight) > prefetch:

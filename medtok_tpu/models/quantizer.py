@@ -47,11 +47,30 @@ class SoftVQQuantizer(nn.Module):
 
     def setup(self):
         c = self.cfg
-        # torch nn.Embedding init is N(0, 1) (vq...py:115)
-        self.codebook = self.param(
-            "codebook", nn.initializers.normal(stddev=1.0),
-            (c.codebook_size, c.codebook_embed_dim), jnp.float32,
-        )
+        if c.use_kmeans:
+            # EMA codebook (completed --kmeans mode, see QuantizerConfig):
+            # non-gradient storage in the 'usage' collection so the train
+            # step's existing mutable threading, checkpointing, and resume
+            # carry it bitwise with zero extra plumbing. The init value is
+            # a placeholder — train.trainer.kmeans_init_codebook overwrites
+            # it from the first batches' shared-path features.
+            self.ema_codebook = self.variable(
+                "usage", "ema_codebook",
+                lambda: vq_ops.l2_normalize(jax.random.normal(
+                    jax.random.PRNGKey(0),
+                    (c.codebook_size, c.codebook_embed_dim), jnp.float32,
+                )),
+            )
+            self.ema_cluster = self.variable(
+                "usage", "ema_cluster",
+                lambda: jnp.zeros((c.codebook_size,), jnp.float32),
+            )
+        else:
+            # torch nn.Embedding init is N(0, 1) (vq...py:115)
+            self.codebook = self.param(
+                "codebook", nn.initializers.normal(stddev=1.0),
+                (c.codebook_size, c.codebook_embed_dim), jnp.float32,
+            )
         self.cross_attn = CrossAttention(
             embed_dim=c.codebook_embed_dim,
             num_heads=c.num_heads,
@@ -76,6 +95,44 @@ class SoftVQQuantizer(nn.Module):
     def _tp_axis(self) -> str | None:
         # init traces outside shard_map where mesh axes are unbound
         return None if self.is_initializing() else self.tp_axis
+
+    def _cb(self) -> jax.Array:
+        """The codebook tensor: a gradient param normally, the EMA variable
+        in the completed --kmeans mode."""
+        return (self.ema_codebook.value if self.cfg.use_kmeans
+                else self.codebook)
+
+    def _ema_codebook_update(self, flat_n, top1) -> None:
+        """Norm-EMA codebook write from the shared path's top-1 assignments
+        (norm_ema_quantizer.py:166-218 semantics: per-shard one-hot stats,
+        psum over dp BEFORE the normalized EMA write — ops/ema.py). flat_n:
+        [M, D] l2-normalized features; top1: [M] full-codebook indices."""
+        from medtok_tpu.ops.ema import ema_update, norm_ema_update
+
+        c = self.cfg
+        # EMA statistics are non-gradient state (the reference updates its
+        # buffers in-place outside autograd). Without this stop_gradient the
+        # SPECIFIC paths — which read the just-updated codebook later in the
+        # same forward — would differentiate the update back into the shared
+        # features, and the zero-bin where() masks NaN cotangents into them.
+        flat_n = jax.lax.stop_gradient(flat_n)
+        w = self.ema_codebook.value
+        one_hot = jax.nn.one_hot(top1, c.codebook_size, dtype=jnp.float32)
+        bins = jnp.sum(one_hot, axis=0)
+        embed_sum = flat_n.T @ one_hot  # [D, C]
+        if self.dp_axis is not None:
+            bins = jax.lax.psum(bins, self.dp_axis)
+            embed_sum = jax.lax.psum(embed_sum, self.dp_axis)
+        zero = bins == 0
+        bins_c = jnp.where(zero, 1.0, bins)
+        embed_normalized = vq_ops.l2_normalize((embed_sum / bins_c[None, :]).T)
+        embed_normalized = jnp.where(zero[:, None], w, embed_normalized)
+        self.ema_codebook.value = norm_ema_update(
+            w, embed_normalized, c.codebook_ema_decay
+        )
+        self.ema_cluster.value = ema_update(
+            self.ema_cluster.value, bins, c.codebook_ema_decay
+        )
 
     # -- usage FIFO (vq...py:219-236); mutable only when 'usage' collection is.
     def _track_usage(self, indices: jax.Array) -> jax.Array:
@@ -112,12 +169,12 @@ class SoftVQQuantizer(nn.Module):
 
         tp = self._tp_axis()
         q_text = vq_ops.soft_topk_quantize(
-            z_flat_text, self.codebook, k=c.top_k, beta=c.commit_loss_beta,
+            z_flat_text, self._cb(), k=c.top_k, beta=c.commit_loss_beta,
             l2_norm=c.l2_norm, train=train, tp_axis=tp,
             backend=c.topk_backend,
         )
         q_graph = vq_ops.soft_topk_quantize(
-            z_flat_graph, self.codebook, k=c.top_k, beta=c.commit_loss_beta,
+            z_flat_graph, self._cb(), k=c.top_k, beta=c.commit_loss_beta,
             l2_norm=c.l2_norm, train=train, tp_axis=tp,
             backend=c.topk_backend,
         )
@@ -126,6 +183,14 @@ class SoftVQQuantizer(nn.Module):
         )
         z_text_n = vq_ops.l2_normalize(z_flat_text.astype(jnp.float32))
         z_graph_n = vq_ops.l2_normalize(z_flat_graph.astype(jnp.float32))
+        if (c.use_kmeans and train and not self.is_initializing()
+                and self.is_mutable_collection("usage")):
+            self._ema_codebook_update(
+                jnp.concatenate([z_text_n, z_graph_n], axis=0),
+                jnp.concatenate(
+                    [q_text.indices[:, 0], q_graph.indices[:, 0]], axis=0
+                ),
+            )
 
         # optional entropy regularizer input: full-codebook affinity (-d),
         # materialized only when the ratio is non-zero (train_MedTok.py:373
@@ -133,7 +198,7 @@ class SoftVQQuantizer(nn.Module):
         # completed path for entropy_loss_ratio > 0)
         affinity = None
         if train and c.entropy_loss_ratio > 0:
-            e_n = vq_ops.l2_normalize(self.codebook.astype(jnp.float32))
+            e_n = vq_ops.l2_normalize(self._cb().astype(jnp.float32))
             affinity = -jnp.concatenate(
                 [
                     vq_ops.squared_distance(z_text_n, e_n),
@@ -184,12 +249,12 @@ class SoftVQQuantizer(nn.Module):
             third = n // 3
             bounds = (0, third) if types == "text" else (n - third, n)
             q = vq_ops.soft_topk_quantize(
-                z_p, self.codebook, k=c.top_k, beta=c.commit_loss_beta,
+                z_p, self._cb(), k=c.top_k, beta=c.commit_loss_beta,
                 l2_norm=c.l2_norm, train=train, tp_axis=self._tp_axis(),
                 region=bounds, backend=c.topk_backend,
             )
         else:
-            region = vq_ops.region_slice(self.codebook, types)
+            region = vq_ops.region_slice(self._cb(), types)
             q = vq_ops.soft_topk_quantize(
                 z_p, region, k=c.top_k, beta=c.commit_loss_beta,
                 l2_norm=c.l2_norm, train=train, backend=c.topk_backend,

@@ -126,6 +126,19 @@ def kmeans_init_codebook(
         zt, zg = enc(state.params, state.usage, b)
         feats += [np.asarray(zt), np.asarray(zg)]
     data = jnp.asarray(np.concatenate(feats, axis=0))
+    if "ema_codebook" in state.usage.get("quantize", {}):
+        # completed --kmeans mode: the codebook is EMA state in the usage
+        # collection (models/quantizer.py setup), not a gradient param
+        usage_q = dict(state.usage["quantize"])
+        n_e = usage_q["ema_codebook"].shape[0]
+        means, bins = kmeans(rng, data, n_e, num_iters=10,
+                             use_cosine_sim=True)
+        usage_q["ema_codebook"] = means.astype(
+            usage_q["ema_codebook"].dtype)
+        usage_q["ema_cluster"] = bins.astype(usage_q["ema_cluster"].dtype)
+        usage = dict(state.usage)
+        usage["quantize"] = usage_q
+        return state.replace(usage=usage)
     n_e = state.params["quantize"]["codebook"].shape[0]
     means, _ = kmeans(rng, data, n_e, num_iters=10, use_cosine_sim=True)
     params = dict(state.params)

@@ -110,12 +110,72 @@ def main() -> None:
         print(f"leg: {name} {best*1e3:.2f} ms", file=sys.stderr, flush=True)
         return round(best * 1e3, 2)
 
+    # ---- finer attribution legs (r5): where do the non-GEMM ms hide? ----
+    def make_bare(attn="kernel"):
+        """No LN, no gelu: GEMMs + residuals, attention selectable:
+        'kernel' = transposes + packed flash; 'none' = take the q slice of
+        the QKV output as the attention result (GEMM-only ceiling);
+        'one_t' = single [R,P,3,NH,Dh]->[3,R,NH,P,Dh] transpose of the
+        fused QKV instead of three separate ones."""
+        def stack(carry, x, seg):
+            for li in range(NL):
+                qkv = x @ Wqkv[li]
+                if attn == "none":
+                    a = qkv[..., :H]
+                elif attn == "one_t":
+                    q3 = qkv.reshape(R, P, 3, NH, Dh).transpose(2, 0, 3, 1, 4)
+                    a = packed_segment_attention(q3[0], q3[1], q3[2], seg)
+                    a = a.transpose(0, 2, 1, 3).reshape(R, P, H)
+                else:
+                    q = qkv[..., :H].reshape(R, P, NH, Dh).transpose(0, 2, 1, 3)
+                    k = qkv[..., H:2*H].reshape(R, P, NH, Dh).transpose(0, 2, 1, 3)
+                    v = qkv[..., 2*H:].reshape(R, P, NH, Dh).transpose(0, 2, 1, 3)
+                    a = packed_segment_attention(q, k, v, seg)
+                    a = a.transpose(0, 2, 1, 3).reshape(R, P, H)
+                x = x + a @ Wo[li]
+                x = x + (x @ W1[li]) @ W2[li]
+            return carry + jnp.sum(x).astype(jnp.float32)
+        return jax.jit(stack)
+
+    def make_einsum(split_qkv=True):
+        """No LN/gelu; q/k/v produced DIRECTLY in head layout via einsum
+        (weights pre-reshaped [H, NH, Dh]) and the output projection
+        contracted straight from head layout — XLA folds the relayout into
+        the GEMMs instead of materializing 4 transposes per layer."""
+        Wq = Wqkv[:, :, :H].reshape(NL, H, NH, Dh)
+        Wk = Wqkv[:, :, H:2*H].reshape(NL, H, NH, Dh)
+        Wv = Wqkv[:, :, 2*H:].reshape(NL, H, NH, Dh)
+        W3 = Wqkv.reshape(NL, H, 3, NH, Dh)
+        Wor = Wo.reshape(NL, NH, Dh, H)
+
+        def stack(carry, x, seg):
+            for li in range(NL):
+                if split_qkv:
+                    q = jnp.einsum("rpe,end->rnpd", x, Wq[li])
+                    k = jnp.einsum("rpe,end->rnpd", x, Wk[li])
+                    v = jnp.einsum("rpe,end->rnpd", x, Wv[li])
+                else:
+                    qkv = jnp.einsum("rpe,ecnd->crnpd", x, W3[li])
+                    q, k, v = qkv[0], qkv[1], qkv[2]
+                a = packed_segment_attention(q, k, v, seg)
+                x = x + jnp.einsum("rnpd,nde->rpe", a, Wor[li])
+                x = x + (x @ W1[li]) @ W2[li]
+            return carry + jnp.sum(x).astype(jnp.float32)
+        return jax.jit(stack)
+
     out = {
+        "bare_einsum_split": chain(make_einsum(True), x0, seg,
+                                   name="einsum_split"),
+        "bare_einsum_fused": chain(make_einsum(False), x0, seg,
+                                   name="einsum_fused"),
         "base_erf_bf16ln": chain(make_stack(), x0, seg, name="base"),
         "gelu_tanh": chain(make_stack(gelu_mode="tanh"), x0, seg, name="tanh"),
         "gelu_none": chain(make_stack(gelu_mode="none"), x0, seg, name="gelu_none"),
         "ln_none": chain(make_stack(ln_mode="none"), x0, seg, name="ln_none"),
         "ln_fp32": chain(make_stack(ln_mode="fp32"), x0, seg, name="ln_fp32"),
+        "bare_kernel_attn": chain(make_bare("kernel"), x0, seg, name="bare"),
+        "bare_one_transpose": chain(make_bare("one_t"), x0, seg, name="one_t"),
+        "bare_no_attn": chain(make_bare("none"), x0, seg, name="no_attn"),
     }
     print(json.dumps(out))
 

@@ -1,0 +1,220 @@
+"""Matched-mask EHR dropout experiment (VERDICT r4 item 8).
+
+The dropout-on EHR quality leg (scripts/run_ehr_oracle.py, PARITY_REPORT
+``ehr_quality.dropout_0.5``) showed AUPRC diffs up to ~1e-2 at seed 0 —
+plausibly pure dropout-mask sampling noise (torch and flax draw from
+different RNGs), but unproven. This experiment closes the question by
+injecting IDENTICAL Bernoulli masks into both frameworks at every dropout
+site and re-running the exact seed-0 recipe: if the remaining gap collapses
+to the no-dropout band (≤3e-4), the original gap was RNG divergence, not
+framework math.
+
+Mechanics: one shared numpy RNG per side, same seed. Every dropout call is
+intercepted (flax: ``nn.Dropout.__call__``; torch:
+``torch.nn.functional.dropout``, which both ``nn.Dropout`` and
+``F.multi_head_attention_forward`` resolve at call time) and replaced by a
+draw from the stream in a CANONICAL batch-first layout:
+
+- torch's encoder layers run seq-first ([L, B, E], EHRModel_token.py uses
+  the torch default), flax runs batch-first ([B, L, E]) — the canonical
+  draw is [B, L, E], transposed into the torch layout, so mask bit (b, l, e)
+  lands on the same logical activation on both sides;
+- attention-probability dropout is [B*H, L, L] in torch vs [B, H, L, L] in
+  flax — same element order, reshape only.
+
+Both sides log their canonical (shape, p) consumption sequence; the
+sequences must be IDENTICAL (asserted) — that is the proof the masks
+matched. The flax side runs under ``jax.disable_jit()`` so mask draws
+happen per call instead of being baked into a trace.
+
+Writes PARITY_REPORT ``ehr_quality.matched_mask``.
+Reference dropout sites: EHRModel_token.py:95-104 (layer stack),
+:61 (PE dropout); torch TransformerEncoderLayer consumes per layer in order
+(attn-probs, attn-out, ffn-mid, ffn-out) — models/layers.py:120-121 and
+ehr/model.py:78-93 apply in the same order.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import run_ehr_oracle as ehr_oracle  # noqa: E402
+
+
+class MaskStream:
+    """Shared-seed Bernoulli mask source, keyed by canonical shape."""
+
+    def __init__(self, seed: int):
+        self.rng = np.random.default_rng(seed)
+        self.log: list[tuple[tuple[int, ...], float]] = []
+
+    def draw(self, canon_shape: tuple[int, ...], p: float) -> np.ndarray:
+        self.log.append((tuple(int(s) for s in canon_shape), float(p)))
+        keep = (self.rng.random(canon_shape) >= p).astype(np.float32)
+        return keep / np.float32(1.0 - p)
+
+
+def canonicalize_torch(shape: tuple[int, ...], B: int, BH: int):
+    """(canonical shape, restore fn) for a torch dropout input shape.
+
+    Explicit shape dispatch for THIS model's four site families; ambiguous
+    shapes raise instead of guessing."""
+    if len(shape) == 3 and shape[0] == BH and shape[1] == shape[2]:
+        # attention probs [B*H, L, L] -> canonical [B, H, L, L]
+        canon = (B, BH // B, shape[1], shape[2])
+        return canon, lambda m: m.reshape(shape)
+    if len(shape) == 3 and shape[1] == B and shape[0] != B:
+        # seq-first layer activation [L, B, E] -> canonical [B, L, E]
+        canon = (shape[1], shape[0], shape[2])
+        return canon, lambda m: m.transpose(1, 0, 2)
+    if len(shape) == 3 and shape[0] == B and shape[1] != B:
+        # batch-first (positional-encoder output) [B, C, D]
+        return shape, lambda m: m
+    raise AssertionError(f"ambiguous torch dropout shape {shape} (B={B})")
+
+
+def run_matched(seed: int, *, epochs: int, dropout: float, lr: float,
+                n: int, mask_seed: int = 777) -> dict:
+    import jax
+    import torch
+    import torch.nn.functional as F_mod
+    from flax import linen as nn
+
+    from medtok_tpu.ehr.torch_oracle import (
+        torch_eval_probs,
+        torch_train_epochs,
+    )
+    from medtok_tpu.ehr.train import compute_metrics
+
+    table, train, evalb = ehr_oracle.synthetic_task_batches(seed, n=n)
+    spe = len(train)
+    tm, trainer, params = ehr_oracle.make_pair(
+        table, seed=seed, dropout=dropout, pe_dropout=dropout and 0.2,
+        lr=lr, steps_per_epoch=spe,
+    )
+    B = int(train[0].codes.shape[0])
+    heads = tm.model[0].self_attn.num_heads
+    BH = B * heads
+
+    # ---- torch side: patch F.dropout (covers nn.Dropout.forward and the
+    # attn-prob dropout inside F.multi_head_attention_forward) ----
+    t_stream = MaskStream(mask_seed)
+    orig_dropout = F_mod.dropout
+
+    def torch_dropout(inp, p=0.5, training=True, inplace=False):
+        if not training or p == 0.0:
+            return inp
+        canon, restore = canonicalize_torch(tuple(inp.shape), B, BH)
+        m = restore(t_stream.draw(canon, p))
+        return inp * torch.from_numpy(np.ascontiguousarray(m))
+
+    F_mod.dropout = torch_dropout
+    try:
+        def batch_stream():
+            while True:
+                yield from train
+
+        torch_train_epochs(tm, batch_stream(), task="readmission", lr=lr,
+                           epochs=epochs, steps_per_epoch=spe, seed=seed)
+        t_probs = torch_eval_probs(tm, evalb, "readmission")
+    finally:
+        F_mod.dropout = orig_dropout
+
+    # ---- flax side: patch nn.Dropout.__call__, run eagerly so draws are
+    # per-call (a jitted trace would bake step-0's masks in as constants) --
+    f_stream = MaskStream(mask_seed)
+    orig_call = nn.Dropout.__call__
+
+    def flax_dropout(self, x, deterministic=None, rng=None):
+        if deterministic or self.rate == 0.0:
+            return x
+        # flax tensors are already canonical: [B, H, L, L] attn probs,
+        # [B, L, E] activations
+        import jax.numpy as jnp
+
+        m = f_stream.draw(tuple(x.shape), float(self.rate))
+        return x * jnp.asarray(m, x.dtype)
+
+    nn.Dropout.__call__ = flax_dropout
+    try:
+        with jax.disable_jit():
+            opt_state = trainer.tx.init(params)
+            rng = jax.random.PRNGKey(seed)
+            losses = []
+            for _ in range(epochs):
+                for b in train:
+                    rng, sub = jax.random.split(rng)
+                    params, opt_state, loss, _ = trainer._train_step(
+                        params, opt_state, b, sub)
+                    losses.append(float(loss))
+        f_probs = np.concatenate(
+            [np.asarray(trainer._eval_step(params, b)) for b in evalb])
+    finally:
+        nn.Dropout.__call__ = orig_call
+
+    # ---- the proof obligation: both sides consumed the SAME canonical
+    # mask sequence from the SAME seed -> identical masks ----
+    assert t_stream.log == f_stream.log, (
+        "mask consumption diverged:\n"
+        f"torch[:5]={t_stream.log[:5]}\nflax[:5]={f_stream.log[:5]}\n"
+        f"lens: torch={len(t_stream.log)} flax={len(f_stream.log)}")
+
+    raws = np.concatenate([np.asarray(b.label_raw) for b in evalb])
+    t_m = compute_metrics("readmission", 2, raws, t_probs)
+    f_m = compute_metrics("readmission", 2, raws, f_probs)
+    return {
+        "seed": seed,
+        "mask_sites_per_run": len(t_stream.log),
+        "mask_sequence_equal": True,
+        "torch_aupr": round(t_m["aupr"], 6),
+        "flax_aupr": round(f_m["aupr"], 6),
+        "aupr_abs_diff": round(abs(t_m["aupr"] - f_m["aupr"]), 6),
+        "torch_auc": round(t_m["auc"], 6),
+        "flax_auc": round(f_m["auc"], 6),
+        "flax_loss_final": round(losses[-1], 6),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--epochs", type=int, default=20)
+    ap.add_argument("--n", type=int, default=480)
+    ap.add_argument("--dropout", type=float, default=0.5)
+    ap.add_argument("--lr", type=float, default=3e-3)
+    ap.add_argument("--report", default="docs/PARITY_REPORT.json")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    res = run_matched(args.seed, epochs=args.epochs, dropout=args.dropout,
+                      lr=args.lr, n=args.n)
+    res["note"] = (
+        "identical Bernoulli masks injected at every dropout site both "
+        "sides (canonical-layout stream, consumption sequence asserted "
+        "equal); collapse of the aupr gap to the no-dropout band proves "
+        "the unmatched-mask dropout_0.5 gap is RNG sampling noise, not "
+        "framework divergence"
+    )
+    print("ehr_quality.matched_mask:", json.dumps(res, indent=1))
+
+    report = Path(args.report)
+    merged = json.loads(report.read_text()) if report.exists() else {}
+    merged.setdefault("ehr_quality", {})["matched_mask"] = res
+    report.parent.mkdir(parents=True, exist_ok=True)
+    report.write_text(json.dumps(merged, indent=1))
+    print(f"merged into {report}")
+
+
+if __name__ == "__main__":
+    main()

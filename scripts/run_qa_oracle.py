@@ -77,9 +77,15 @@ def make_rows(n: int, vocab: int, seed: int, *, with_answer: bool):
     return rows, labels
 
 
-def build_pair(seed: int = 0, lora_rank: int = 4):
+def build_pair(seed: int = 0, lora_rank: int = 4, *, vocab_size: int = 64,
+               cutoff: int = CUTOFF, total: int = TOTAL,
+               table: np.ndarray | None = None, max_pos: int = 128):
     """(finetuner, flax params, torch twin) from one HF init + one flax
-    trainable init — weights identical on both sides by construction."""
+    trainable init — weights identical on both sides by construction.
+
+    Defaults build the synthetic-leg tiny pair; the medmcqa leg passes a
+    real-BPE vocab size, real-prompt cutoff/total lengths, and a table
+    sized to the fixture's remapped medical-code vocabulary."""
     from medtok_tpu.qa.finetune import QAFinetuneConfig, QAFinetuner
     from medtok_tpu.qa.llama import LlamaConfig, convert_hf_llama
     from medtok_tpu.qa.torch_oracle import (
@@ -90,16 +96,17 @@ def build_pair(seed: int = 0, lora_rank: int = 4):
     )
 
     llm_cfg = LlamaConfig(
-        vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=2,
-        num_heads=4, num_kv_heads=2, max_position_embeddings=128,
-        rope_theta=10000.0,
+        vocab_size=vocab_size, hidden_size=32, intermediate_size=64,
+        num_layers=2, num_heads=4, num_kv_heads=2,
+        max_position_embeddings=max_pos, rope_theta=10000.0,
     )
     rng = np.random.default_rng(seed)
-    table = rng.normal(size=(MED_VOCAB, MED_DIM)).astype(np.float32)
+    if table is None:
+        table = rng.normal(size=(MED_VOCAB, MED_DIM)).astype(np.float32)
 
     cfg = QAFinetuneConfig(
-        lora_rank=lora_rank, lora_alpha=8.0, cutoff_len=CUTOFF,
-        total_len=TOTAL, lr=1e-3, batch_size=4, seed=seed,
+        lora_rank=lora_rank, lora_alpha=8.0, cutoff_len=cutoff,
+        total_len=total, lr=1e-3, batch_size=4, seed=seed,
     )
     ft = QAFinetuner(llm_cfg, table, cfg)
     hf = build_tiny_hf_llama(ft.llm_cfg, seed=seed)
@@ -108,7 +115,7 @@ def build_pair(seed: int = 0, lora_rank: int = 4):
 
     twin = TorchSoftPromptLlama(
         add_lora(hf, lora_rank, cfg.lora_alpha), table,
-        total_len=TOTAL, cutoff_len=CUTOFF,
+        total_len=total, cutoff_len=cutoff,
     )
     load_trainables_from_flax(twin, params)
     return ft, params, twin
@@ -199,6 +206,210 @@ def decode_leg(ft, params, twin, *, n_rows: int = 8, T: int = 24,
         "parse_chain": "MedTok_QA_inference.py:175-209 cascade, both sides",
     }
     return decode, acc
+
+
+FIXTURE = Path(__file__).resolve().parents[1] / "tests" / "fixtures" / \
+    "medmcqa_200.json"
+
+
+def train_fixture_bpe(questions: list[str], tmpdir: str, *,
+                      vocab_size: int = 1024):
+    """A REAL byte-level BPE tokenizer.json over the fixture's question
+    corpus (hub access is unavailable, so the Llama-3 vocab itself cannot be
+    downloaded; the format, specials, and merge machinery are the real
+    thing). Trained with the installed ``tokenizers`` library, then loaded
+    by the FIRST-PARTY loader — the returned pair doubles as a real-data
+    encode-parity oracle."""
+    from tokenizers import Tokenizer, decoders, models, pre_tokenizers, trainers
+
+    from medtok_tpu.qa.prompting import MCQ_INSTRUCTION
+    from medtok_tpu.qa.tokenizer import BPETokenizer
+
+    specials = ["<|begin_of_text|>", "<|end_of_text|>",
+                "<|start_header_id|>", "<|end_header_id|>", "<|eot_id|>"]
+    tok = Tokenizer(models.BPE())
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    tok.decoder = decoders.ByteLevel()
+    trainer = trainers.BpeTrainer(
+        vocab_size=vocab_size, special_tokens=specials,
+        initial_alphabet=pre_tokenizers.ByteLevel.alphabet(),
+    )
+    tok.train_from_iterator(questions + [MCQ_INSTRUCTION], trainer)
+    path = str(Path(tmpdir) / "tokenizer.json")
+    tok.save(path)
+    return tok, BPETokenizer.from_file(path)
+
+
+def medmcqa_leg(*, n_rows: int | None = None, T: int = 8,
+                batch_size: int = 25, seed: int = 0) -> dict:
+    """VERDICT r4 item 4: the decode/accuracy parity legs on REAL MedMCQA
+    rows (vendored 200-row slice of
+    /root/reference/Dataset/MedicalQA/medmcqa_dataset.json, the file the
+    reference pipeline is defined on — MedTok_QA_inference.py:91) through
+    the REAL pipeline surface: byte-level BPE tokenizer.json -> Llama-3 chat
+    template (build_prompt) -> right-aligned pack_example with the rows' own
+    medical_codes -> greedy decode -> BPE detokenize -> parse_answer
+    cascade -> accuracy. Flax and the torch twin must produce identical
+    token ids, identical predictions, identical accuracy."""
+    import tempfile
+
+    from medtok_tpu.qa.prompting import (
+        accuracy,
+        build_prompt,
+        pack_example,
+        parse_answer,
+    )
+
+    raw = json.loads(FIXTURE.read_text())
+    if n_rows is not None:
+        raw = raw[:n_rows]
+    questions = [r["input"][0] for r in raw]
+    labels = [r["input"][1] for r in raw]
+
+    with tempfile.TemporaryDirectory() as td:
+        oracle_tok, bpe = train_fixture_bpe(
+            [r["input"][0] for r in json.loads(FIXTURE.read_text())], td)
+
+    # ---- real tokenizer surface: prompt build + encode parity ----
+    prompts = [build_prompt(q, chat_template=bpe.chat_template_fn)
+               for q in questions]
+    enc_mine = [bpe.encode(p) for p in prompts]
+    enc_oracle = [oracle_tok.encode(p).ids for p in prompts]
+    encode_parity = enc_mine == enc_oracle
+
+    # ---- remap the fixture's raw medical-code ids (up to ~617K) onto a
+    # compact embedding table, as the reference's mapping stage does before
+    # indexing its exported table (MedTok_QA_inference.py:94-115) ----
+    uniq = sorted({c for r in raw for c in r["medical_codes"]})
+    remap = {c: i for i, c in enumerate(uniq)}
+    rng = np.random.default_rng(seed + 11)
+    table = rng.normal(size=(max(len(uniq), 1), MED_DIM)).astype(np.float32)
+
+    tmax = max(len(e) for e in enc_mine)
+    cutoff = int(-(-(tmax) // 32) * 32)          # round up to /32
+    mmax = max((len(r["medical_codes"]) for r in raw), default=0)
+    total = cutoff + int(-(-(max(mmax, 1)) // 16) * 16)
+    eos = bpe.eos_token_id
+    rows = [
+        pack_example(enc_mine[i],
+                     [], [remap[c] for c in raw[i]["medical_codes"]],
+                     cutoff_len=cutoff)
+        for i in range(len(raw))
+    ]
+
+    vs = 1 + max(max(bpe.vocab.values()),
+                 max(bpe.special_tokens.values(), default=0))
+    ft, params, twin = build_pair(
+        seed=seed, vocab_size=vs, cutoff=cutoff, total=total,
+        table=table, max_pos=2 * total,
+    )
+
+    # ---- greedy decode, both sides, chunked ----
+    import jax.numpy as jnp
+
+    from medtok_tpu.qa.finetune import _collate_rows
+    from medtok_tpu.qa.llama import LlamaModel, generate
+
+    llm_p, sp_p = params["llm"], params["soft_prompt"]
+
+    def embed_fn(ids):
+        return ft.model.apply({"params": llm_p}, ids,
+                              method=LlamaModel.embed)
+
+    def decode_fn(ids):
+        ids = np.asarray(ids)
+        stop = np.where(ids == eos)[0]
+        ids = ids[: int(stop[0])] if stop.size else ids
+        return bpe.decode(ids.tolist(), skip_special_tokens=True)
+
+    # Zero-medical-code rows exist in the reference's own shipped dataset
+    # (e.g. medmcqa_dataset.json row 160): on those, the REFERENCE computes
+    # torch.mean over an EMPTY embedding set (review.py:63 — argmax of an
+    # all-zero mask lands on slot 0, the filter drops it, mean(∅) = NaN) and
+    # its logits are NaN; our soft prompt mean-pools with a max(count, 1)
+    # denominator (qa/softprompt.py:56) and stays finite. A deliberate bug
+    # fix, like the inference sort / map_query_id fixes — token parity is
+    # defined on the rows the reference itself can decode.
+    has_codes = [bool(r["medical_codes"]) for r in raw]
+    cmp_stats = {"rows": 0, "rows_token_equal": 0, "tokens_compared": 0,
+                 "token_mismatches": 0}
+    preds_t: list[str] = []
+    first_err = 0.0
+    zero_torch_nan = True
+    zero_flax_finite = True
+    for start in range(0, len(rows), batch_size):
+        chunk = rows[start:start + batch_size]
+        hc = has_codes[start:start + batch_size]
+        batch = _collate_rows(chunk, cutoff_len=cutoff)
+        packed = ft.soft_prompt.apply(
+            {"params": sp_p}, jnp.asarray(batch["input_ids"]),
+            jnp.asarray(batch["attention_mask"]), None, embed_fn, total,
+        )
+        f_ids = np.asarray(generate(
+            ft.model, llm_p, packed.inputs_embeds, packed.attention_mask,
+            max_new_tokens=T, temperature=0.0, eos_token_id=eos,
+        ))
+        t_ids = twin.greedy_decode(batch["input_ids"],
+                                   batch["attention_mask"], T,
+                                   eos_token_id=eos)
+        sel = np.asarray(hc)
+        if sel.any():
+            for k, v in _cmp_until_eos(f_ids[sel], t_ids[sel], eos).items():
+                cmp_stats[k] += v
+        f_first = np.asarray(ft.model.apply(
+            {"params": llm_p}, inputs_embeds=packed.inputs_embeds,
+            attention_mask=packed.attention_mask,
+            positions=jnp.maximum(
+                jnp.cumsum(packed.attention_mask, axis=1) - 1, 0),
+        )[0][:, -1, :])
+        t_first = twin.next_token_logits(batch["input_ids"],
+                                         batch["attention_mask"])
+        if sel.any():
+            first_err = max(first_err, float(
+                np.abs(f_first[sel] - t_first[sel]).max()))
+        if (~sel).any():
+            zero_torch_nan &= bool(np.isnan(t_first[~sel]).all())
+            zero_flax_finite &= bool(np.isfinite(f_first[~sel]).all())
+        preds_t.extend(parse_answer(decode_fn(t_ids[i]),
+                                    labels[start + i])
+                       for i in range(len(chunk)))
+
+    # ---- full flax pipeline (evaluate_qa) vs the twin's parse chain ----
+    from medtok_tpu.qa.inference import evaluate_qa
+
+    acc_f, preds_f = evaluate_qa(ft, params, rows, labels, decode_fn,
+                                 max_new_tokens=T, temperature=0.0,
+                                 eos_token_id=eos, batch_size=batch_size)
+    sel = np.asarray(has_codes)
+    lab_c = [l for l, h in zip(labels, has_codes) if h]
+    preds_f_c = [p for p, h in zip(preds_f, has_codes) if h]
+    preds_t_c = [p for p, h in zip(preds_t, has_codes) if h]
+    acc_fc, acc_tc = accuracy(preds_f_c, lab_c), accuracy(preds_t_c, lab_c)
+    return {
+        "fixture": "tests/fixtures/medmcqa_200.json (stride-20 slice of "
+                   "the reference medmcqa_dataset.json)",
+        "rows": len(raw),
+        "tokenizer": f"byte-level BPE tokenizer.json, vocab "
+                     f"{len(bpe.vocab)}, first-party loader",
+        "encode_parity_all_prompts": bool(encode_parity),
+        "cutoff_len": cutoff, "total_len": total,
+        "max_new_tokens": T,
+        "decode": cmp_stats,
+        "first_step_logits_max_abs_err": first_err,
+        "flax_accuracy": acc_fc, "torch_accuracy": acc_tc,
+        "accuracy_equal": acc_fc == acc_tc,
+        "predictions_equal": preds_f_c == preds_t_c,
+        "zero_code_rows": {
+            "count": int((~sel).sum()),
+            "reference_twin_logits_all_nan": bool(zero_torch_nan),
+            "flax_logits_all_finite": bool(zero_flax_finite),
+            "note": "reference review.py:63 means over an empty embedding "
+                    "set -> NaN on its own dataset's zero-code rows; our "
+                    "softprompt.py:56 max(count,1) denominator is a "
+                    "deliberate fix, rows excluded from token parity",
+        },
+        "parse_chain": "MedTok_QA_inference.py:175-209 cascade, both sides",
+    }
 
 
 def _tree_grad_errs(f_tree, t_tree) -> dict:
@@ -303,6 +514,9 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=60)
     ap.add_argument("--rows", type=int, default=16)
     ap.add_argument("--max-new-tokens", type=int, default=32)
+    ap.add_argument("--medmcqa-rows", type=int, default=None,
+                    help="cap the real-data leg (default: all 200)")
+    ap.add_argument("--medmcqa-new-tokens", type=int, default=8)
     ap.add_argument("--report", default="docs/PARITY_REPORT.json")
     args = ap.parse_args()
 
@@ -318,11 +532,15 @@ def main() -> None:
     dyn = dynamics_leg(ft, params, twin, steps=args.steps)
     print("qa_finetune_dynamics:", json.dumps(
         {k: v for k, v in dyn.items() if k != "grad_step0_per_leaf"}))
+    real = medmcqa_leg(n_rows=args.medmcqa_rows,
+                       T=args.medmcqa_new_tokens)
+    print("qa_accuracy.medmcqa_real:", json.dumps(real))
 
     report = Path(args.report)
     merged = json.loads(report.read_text()) if report.exists() else {}
     merged["qa_decode"] = decode
     merged["qa_accuracy"] = acc
+    merged["qa_accuracy"]["medmcqa_real"] = real
     merged["qa_finetune_dynamics"] = dyn
     report.parent.mkdir(parents=True, exist_ok=True)
     report.write_text(json.dumps(merged, indent=1))

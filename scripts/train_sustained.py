@@ -110,10 +110,19 @@ def cmd_run(args) -> None:
         # the config update is the only honored override in plain scripts
         jax.config.update("jax_platforms", "cpu")
 
+    import dataclasses
+
     from medtok_tpu.config import MedTokConfig, ModelConfig, TrainConfig
     from medtok_tpu.train.trainer import Trainer
 
     mcfg = ModelConfig()
+    if args.kmeans:
+        # completed --kmeans mode (train_MedTok.py:89-92): EMA codebook,
+        # kmeans-initialized below, norm-EMA-updated each step — non-grad
+        # state carried through checkpoints (models/quantizer.py)
+        mcfg = dataclasses.replace(
+            mcfg, quantizer=dataclasses.replace(
+                mcfg.quantizer, use_kmeans=True))
     cfg = MedTokConfig(model=mcfg, train=TrainConfig(
         global_batch_size=args.batch,
         log_every=args.log_every,
@@ -146,6 +155,14 @@ def cmd_run(args) -> None:
     example = make_batch(pool, 0, args.batch)
     state = trainer.init_state(example)   # restores latest ckpt if present
     start = int(jax.device_get(state.step))
+    if args.kmeans and start == 0:
+        # kmeans codebook init from the first batch's shared features —
+        # deterministic, so the resumed leg (start > 0) must NOT redo it:
+        # the checkpoint already carries the EMA state
+        from medtok_tpu.train.trainer import kmeans_init_codebook
+
+        state = kmeans_init_codebook(trainer.model, state, [example])
+        print("kmeans codebook init done", flush=True)
     print(f"starting at step {start} -> {args.steps}", flush=True)
 
     def batches():
@@ -226,6 +243,9 @@ def main() -> None:
     r.add_argument("--log-every", type=int, default=20)
     r.add_argument("--ckpt-every", type=int, default=500)
     r.add_argument("--max-checkpoints", type=int, default=6)
+    r.add_argument("--kmeans", action="store_true",
+                   help="completed --kmeans mode: kmeans-init + norm-EMA "
+                        "codebook (non-grad state)")
     c = sub.add_parser("compare")
     c.add_argument("--a", required=True)
     c.add_argument("--b", required=True)

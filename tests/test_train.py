@@ -186,6 +186,77 @@ def test_kmeans_init_codebook(train_setup):
     assert np.isfinite(norms).all()
 
 
+def test_kmeans_norm_ema_mode(tmp_path):
+    """Completed --kmeans mode (QuantizerConfig.use_kmeans; the reference
+    constructs EmbeddingEMA but never inits or updates it,
+    vector_quantization_soft_one_new.py:109-111): the codebook is EMA state
+    in the usage collection — kmeans-initialized, norm-EMA-updated from the
+    shared path's top-1 assignments each step (psum'd over dp), excluded
+    from Adam, and carried bitwise through checkpoints."""
+    from medtok_tpu.train.trainer import kmeans_init_codebook
+    from medtok_tpu.utils.checkpoint import CheckpointManager
+
+    # cross_attn dropout off: per-device dropout streams are decorrelated
+    # by design (train_MedTok.py:43 per-rank seeds), so the dp8==dp1
+    # equality leg needs a deterministic forward
+    mcfg = tiny_config(use_kmeans=True, cross_attn_dropout=0.0)
+    cfg = MedTokConfig(
+        model=mcfg, data=DataConfig(),
+        train=TrainConfig(global_batch_size=8, log_every=1),
+    )
+    rng = np.random.default_rng(3)
+    batch = jax.tree.map(jnp.asarray, random_code_batch(
+        rng, batch=8, text_len=16, max_nodes=8, max_edges_per_graph=8,
+        text_vocab=1000, num_kg_nodes=500,
+    ))
+
+    def build(dp):
+        mesh = make_mesh(dp=dp, tp=1)
+        model = MultimodalTokenizer(
+            mcfg, dp_axis=DP_AXIS if dp > 1 else None)
+        state = create_train_state(cfg, model, batch)
+        state = kmeans_init_codebook(model, state, [batch])
+        return mesh, model, state
+
+    mesh8, model8, state8 = build(8)
+    # no codebook gradient param; EMA state lives in usage
+    assert "codebook" not in state8.params["quantize"]
+    q = state8.usage["quantize"]
+    assert "ema_codebook" in q and "ema_cluster" in q
+    w0 = np.asarray(q["ema_codebook"]).copy()
+
+    from medtok_tpu.parallel.mesh import shard_batch
+
+    step8 = make_train_step(cfg, model8, mesh8, donate=False)
+    s8, m8 = step8(state8, shard_batch(mesh8, batch))
+    assert np.isfinite(float(m8["loss"]))
+    w8 = np.asarray(s8.usage["quantize"]["ema_codebook"])
+    assert np.abs(w8 - w0).max() > 0          # EMA actually updated
+    assert np.isfinite(w8).all()
+    np.testing.assert_allclose(               # norm-EMA keeps unit rows
+        np.linalg.norm(w8, axis=-1), 1.0, atol=1e-5)
+
+    # 8-shard dp step == single-device step on the same global batch: the
+    # per-shard one-hot stats are psum'd BEFORE the EMA write, so the
+    # updated codebook must agree to reduction-order noise
+    mesh1, model1, state1 = build(1)
+    step1 = make_train_step(cfg, model1, mesh1, donate=False)
+    s1, _ = step1(state1, shard_batch(mesh1, batch))
+    w1 = np.asarray(s1.usage["quantize"]["ema_codebook"])
+    np.testing.assert_allclose(w8, w1, atol=1e-5)
+
+    # checkpoint round-trip carries the EMA state bitwise
+    mgr = CheckpointManager(tmp_path, max_to_keep=2, config=cfg)
+    s8 = s8.replace(step=jnp.asarray(500))
+    mgr.save(s8)
+    restored = mgr.restore(s8)
+    np.testing.assert_array_equal(
+        np.asarray(restored.usage["quantize"]["ema_codebook"]), w8)
+    np.testing.assert_array_equal(
+        np.asarray(restored.usage["quantize"]["ema_cluster"]),
+        np.asarray(s8.usage["quantize"]["ema_cluster"]))
+
+
 def test_entropy_loss_wiring(train_setup):
     """entropy_loss_ratio > 0 materializes the shared affinity and adds the
     regularizer (completed path; reference defines but never wires it)."""
