@@ -477,14 +477,22 @@ def train_sustained_block(jax, jnp) -> dict:
     Precomputed — a 10-minute three-leg job doesn't belong in every bench
     invocation; the JSON it reports was measured on this chip and the
     source field says exactly where it came from."""
-    p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "docs", "TRAIN_SUSTAINED.json")
-    if not os.path.exists(p):
-        return {}
-    with open(p) as f:
-        block = json.load(f)
-    block["source"] = "precomputed: scripts/run_train_sustained.sh"
-    return {"train_sustained": block}
+    out = {}
+    docs = os.path.join(os.path.dirname(os.path.abspath(__file__)), "docs")
+    for fname, key, src in (
+        ("TRAIN_SUSTAINED.json", "train_sustained",
+         "precomputed: scripts/run_train_sustained.sh"),
+        ("TRAIN_SUSTAINED_KMEANS.json", "train_sustained_kmeans",
+         "precomputed: scripts/run_train_sustained.sh (KMEANS=1 — "
+         "kmeans-init + norm-EMA codebook, VERDICT r4 item 6)"),
+    ):
+        p = os.path.join(docs, fname)
+        if os.path.exists(p):
+            with open(p) as f:
+                block = json.load(f)
+            block["source"] = src
+            out[key] = block
+    return out
 
 
 def emit_result(jax, jnp, wall, t_tok, checksum, extra) -> None:

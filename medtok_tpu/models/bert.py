@@ -20,6 +20,57 @@ from medtok_tpu.config import TextEncoderConfig
 from medtok_tpu.ops.gelu import bert_gelu
 
 
+class _DenseHeads(nn.Module):
+    """nn.Dense-compatible projection emitted DIRECTLY in head layout.
+
+    Param tree ({kernel [E, H*Dh], bias [H*Dh]}, lecun_normal/zeros init) is
+    byte-identical to ``nn.Dense(H*Dh)``, so converters and checkpoints are
+    unchanged — but the forward contracts via einsum into [B, NH, L, Dh],
+    letting XLA fold the head relayout into the GEMM. Measured on the packed
+    [256, 128] export forward: the 4 materialized transposes per layer cost
+    ~24 ms of the 62 ms no-gelu stack; the einsum layout runs it at 46 ms
+    (scripts/profile_bert_ab.py, bare_kernel_attn vs bare_einsum_split)."""
+
+    features: int
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # [B, L, E] -> [B, NH, L, Dh]
+        E = x.shape[-1]
+        Dh = self.features // self.num_heads
+        kernel = self.param("kernel", nn.linear.default_kernel_init,
+                            (E, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        k = kernel.astype(self.dtype).reshape(E, self.num_heads, Dh)
+        out = jnp.einsum("ble,end->bnld", x.astype(self.dtype), k)
+        return out + bias.astype(self.dtype).reshape(
+            1, self.num_heads, 1, Dh)
+
+
+class _DenseFromHeads(nn.Module):
+    """nn.Dense-compatible output projection consumed DIRECTLY from head
+    layout: [B, NH, L, Dh] -> [B, L, E], contraction over (head, Dh) — the
+    transpose+reshape+matmul fused into one einsum (see _DenseHeads)."""
+
+    features: int
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, a):  # [B, NH, L, Dh] -> [B, L, features]
+        Dh = a.shape[-1]
+        E = self.num_heads * Dh
+        kernel = self.param("kernel", nn.linear.default_kernel_init,
+                            (E, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        k = kernel.astype(self.dtype).reshape(self.num_heads, Dh,
+                                              self.features)
+        return jnp.einsum("bnld,nde->ble", a, k) + bias.astype(self.dtype)
+
+
 class BertSelfAttention(nn.Module):
     cfg: TextEncoderConfig
     dtype: Any = jnp.float32
@@ -34,25 +85,24 @@ class BertSelfAttention(nn.Module):
         through the fused block-diagonal Pallas kernel instead of the dense
         masked softmax (same masking semantics for every consumed position;
         all-padding query rows return 0 where dense returns a uniform
-        average — such rows are never gathered downstream)."""
+        average — such rows are never gathered downstream).
+
+        Returns HEAD layout [B, NH, L, Dh]; the caller's output projection
+        (_DenseFromHeads) contracts straight from it."""
         c = self.cfg
         H = c.num_heads
         Dh = c.hidden_size // H
-        q = nn.Dense(c.hidden_size, dtype=self.dtype, name="query")(x)
-        k = nn.Dense(c.hidden_size, dtype=self.dtype, name="key")(x)
-        v = nn.Dense(c.hidden_size, dtype=self.dtype, name="value")(x)
+        q = _DenseHeads(c.hidden_size, H, self.dtype, name="query")(x)
+        k = _DenseHeads(c.hidden_size, H, self.dtype, name="key")(x)
+        v = _DenseHeads(c.hidden_size, H, self.dtype, name="value")(x)
         B, L, _ = x.shape
-        q = q.reshape(B, L, H, Dh).transpose(0, 2, 1, 3)
-        k = k.reshape(B, L, H, Dh).transpose(0, 2, 1, 3)
-        v = v.reshape(B, L, H, Dh).transpose(0, 2, 1, 3)
         if segments is not None and c.packed_flash and deterministic:
             from medtok_tpu.ops.flash_attention import packed_segment_attention
 
-            out = packed_segment_attention(
+            return packed_segment_attention(
                 q, k, v, segments, sm_scale=1.0 / float(np.sqrt(Dh)),
                 interpret=jax.default_backend() != "tpu",
             )
-            return out.transpose(0, 2, 1, 3).reshape(B, L, c.hidden_size)
         if segments is not None:
             mask = (segments[:, :, None] == segments[:, None, :]) & (
                 segments[:, :, None] > 0
@@ -65,8 +115,7 @@ class BertSelfAttention(nn.Module):
         attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
         if not deterministic:
             attn = nn.Dropout(c.attention_dropout)(attn, deterministic=False)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
-        return out.transpose(0, 2, 1, 3).reshape(B, L, c.hidden_size)
+        return jnp.einsum("bhqk,bhkd->bhqd", attn, v)
 
 
 class BertLayer(nn.Module):
@@ -79,7 +128,9 @@ class BertLayer(nn.Module):
         attn = BertSelfAttention(c, self.dtype, name="attention")(
             x, mask, deterministic=deterministic, segments=segments
         )
-        attn = nn.Dense(c.hidden_size, dtype=self.dtype, name="attention_output")(attn)
+        attn = _DenseFromHeads(
+            c.hidden_size, c.num_heads, self.dtype, name="attention_output",
+        )(attn)
         if not deterministic:
             attn = nn.Dropout(c.hidden_dropout)(attn, deterministic=False)
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="attention_ln")(

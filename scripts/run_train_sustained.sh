@@ -12,16 +12,28 @@ STEPS=${STEPS:-2000}
 BATCH=${BATCH:-1024}
 KILL_AT=${KILL_AT:-1050}
 B_STEPS=${B_STEPS:-1200}
+# KMEANS=1: the completed --kmeans mode (kmeans-init + norm-EMA codebook,
+# VERDICT r4 item 6) — same three legs; the resume leg additionally proves
+# the EMA codebook/cluster state (non-gradient, usage collection) restores
+# bitwise, since the step-for-step trajectory depends on it.
+KMEANS=${KMEANS:-0}
+KM_FLAG=""
+OUT_JSON=docs/TRAIN_SUSTAINED.json
+if [ "$KMEANS" = "1" ]; then
+  KM_FLAG="--kmeans"
+  OUT_JSON=docs/TRAIN_SUSTAINED_KMEANS.json
+  ROOT=${ROOT:-/tmp/train_sustained_km}
+fi
 ROOT=${ROOT:-/tmp/train_sustained}
 rm -rf "$ROOT"; mkdir -p "$ROOT"
 
 echo "=== leg A: $STEPS uninterrupted steps ==="
-timeout 7200 python scripts/train_sustained.py run \
+timeout 7200 python scripts/train_sustained.py run $KM_FLAG \
   --workdir "$ROOT/a" --steps "$STEPS" --batch "$BATCH" \
   --log-every 20 --ckpt-every 500 2>&1 | tail -40
 
 echo "=== leg B: run to ~$KILL_AT, SIGKILL, resume to $B_STEPS ==="
-python scripts/train_sustained.py run \
+python scripts/train_sustained.py run $KM_FLAG \
   --workdir "$ROOT/b" --steps "$B_STEPS" --batch "$BATCH" \
   --log-every 20 --ckpt-every 500 > "$ROOT/b_phase1.log" 2>&1 &
 BPID=$!
@@ -35,7 +47,7 @@ for i in $(seq 1 2000); do
 done
 wait 2>/dev/null
 tail -3 "$ROOT/b_phase1.log"
-timeout 7200 python scripts/train_sustained.py run \
+timeout 7200 python scripts/train_sustained.py run $KM_FLAG \
   --workdir "$ROOT/b" --steps "$B_STEPS" --batch "$BATCH" \
   --log-every 20 --ckpt-every 500 2>&1 | tail -15
 
@@ -43,5 +55,5 @@ echo "=== compare + report ==="
 python scripts/train_sustained.py compare --a "$ROOT/a" --b "$ROOT/b" \
   --from-step 1001 --out "$ROOT/resume.json"
 python scripts/train_sustained.py report --workdir "$ROOT/a" --batch "$BATCH" \
-  --resume-json "$ROOT/resume.json" --out docs/TRAIN_SUSTAINED.json
+  --resume-json "$ROOT/resume.json" --out "$OUT_JSON"
 echo "=== done ==="
