@@ -90,6 +90,9 @@ def main() -> None:
                     h = nn.gelu(h, approximate=False)
                 elif gelu_mode == "tanh":
                     h = nn.gelu(h, approximate=True)
+                elif gelu_mode == "fit":
+                    from medtok_tpu.ops.gelu import gelu_bf16
+                    h = gelu_bf16(h)
                 x = ln(x + h @ W2[li], ln_mode)
             out = x if relayout else xh
             return carry + jnp.sum(out).astype(jnp.float32)
@@ -170,6 +173,7 @@ def main() -> None:
                                    name="einsum_fused"),
         "base_erf_bf16ln": chain(make_stack(), x0, seg, name="base"),
         "gelu_tanh": chain(make_stack(gelu_mode="tanh"), x0, seg, name="tanh"),
+        "gelu_fit": chain(make_stack(gelu_mode="fit"), x0, seg, name="fit"),
         "gelu_none": chain(make_stack(gelu_mode="none"), x0, seg, name="gelu_none"),
         "ln_none": chain(make_stack(ln_mode="none"), x0, seg, name="ln_none"),
         "ln_fp32": chain(make_stack(ln_mode="fp32"), x0, seg, name="ln_fp32"),

@@ -62,23 +62,26 @@ class MaskStream:
         return keep / np.float32(1.0 - p)
 
 
-def canonicalize_torch(shape: tuple[int, ...], B: int, BH: int):
+def canonicalize_torch(shape: tuple[int, ...], B: int, BH: int, L: int):
     """(canonical shape, restore fn) for a torch dropout input shape.
 
-    Explicit shape dispatch for THIS model's four site families; ambiguous
-    shapes raise instead of guessing."""
-    if len(shape) == 3 and shape[0] == BH and shape[1] == shape[2]:
+    Explicit shape dispatch for THIS model's four site families, keyed on
+    the known encoder sequence length L = C + 3 (CLS/gender/ethnicity
+    prepend) so B == C collisions can't misroute; ambiguous shapes raise
+    instead of guessing."""
+    if len(shape) == 3 and shape[0] == BH and shape[1] == shape[2] == L:
         # attention probs [B*H, L, L] -> canonical [B, H, L, L]
-        canon = (B, BH // B, shape[1], shape[2])
+        canon = (B, BH // B, L, L)
         return canon, lambda m: m.reshape(shape)
-    if len(shape) == 3 and shape[1] == B and shape[0] != B:
+    if len(shape) == 3 and shape[0] == L and shape[1] == B:
         # seq-first layer activation [L, B, E] -> canonical [B, L, E]
-        canon = (shape[1], shape[0], shape[2])
+        canon = (B, L, shape[2])
         return canon, lambda m: m.transpose(1, 0, 2)
-    if len(shape) == 3 and shape[0] == B and shape[1] != B:
+    if len(shape) == 3 and shape[0] == B and shape[0] != L:
         # batch-first (positional-encoder output) [B, C, D]
         return shape, lambda m: m
-    raise AssertionError(f"ambiguous torch dropout shape {shape} (B={B})")
+    raise AssertionError(
+        f"ambiguous torch dropout shape {shape} (B={B}, L={L})")
 
 
 def run_matched(seed: int, *, epochs: int, dropout: float, lr: float,
@@ -103,6 +106,7 @@ def run_matched(seed: int, *, epochs: int, dropout: float, lr: float,
     B = int(train[0].codes.shape[0])
     heads = tm.model[0].self_attn.num_heads
     BH = B * heads
+    L = int(train[0].codes.shape[1]) + 3   # CLS/gender/ethnicity prepend
 
     # ---- torch side: patch F.dropout (covers nn.Dropout.forward and the
     # attn-prob dropout inside F.multi_head_attention_forward) ----
@@ -112,11 +116,37 @@ def run_matched(seed: int, *, epochs: int, dropout: float, lr: float,
     def torch_dropout(inp, p=0.5, training=True, inplace=False):
         if not training or p == 0.0:
             return inp
-        canon, restore = canonicalize_torch(tuple(inp.shape), B, BH)
+        canon, restore = canonicalize_torch(tuple(inp.shape), B, BH, L)
         m = restore(t_stream.draw(canon, p))
         return inp * torch.from_numpy(np.ascontiguousarray(m))
 
+    # torch's TransformerEncoderLayer calls MHA with need_weights=False,
+    # which routes attention through the FUSED scaled_dot_product_attention
+    # (dropout_p folded into the kernel — F.dropout never fires for the
+    # attention probs). Patch SDPA with the explicit math so the prob
+    # dropout also draws from the shared stream; q/k/v arrive 4-D
+    # [B, H, L, Dh], so the mask is already canonical [B, H, L, L].
+    orig_sdpa = F_mod.scaled_dot_product_attention
+
+    def torch_sdpa(q, k, v, attn_mask=None, dropout_p=0.0,
+                   is_causal=False, scale=None, **kw):
+        assert not is_causal
+        d = q.shape[-1]
+        s = (1.0 / d ** 0.5) if scale is None else scale
+        scores = (q @ k.transpose(-2, -1)) * s
+        if attn_mask is not None:
+            if attn_mask.dtype == torch.bool:
+                scores = scores.masked_fill(~attn_mask, float("-inf"))
+            else:
+                scores = scores + attn_mask
+        probs = torch.softmax(scores, dim=-1)
+        if dropout_p > 0.0 and tm.training:
+            m = t_stream.draw(tuple(probs.shape), dropout_p)
+            probs = probs * torch.from_numpy(np.ascontiguousarray(m))
+        return probs @ v
+
     F_mod.dropout = torch_dropout
+    F_mod.scaled_dot_product_attention = torch_sdpa
     try:
         def batch_stream():
             while True:
@@ -127,6 +157,7 @@ def run_matched(seed: int, *, epochs: int, dropout: float, lr: float,
         t_probs = torch_eval_probs(tm, evalb, "readmission")
     finally:
         F_mod.dropout = orig_dropout
+        F_mod.scaled_dot_product_attention = orig_sdpa
 
     # ---- flax side: patch nn.Dropout.__call__, run eagerly so draws are
     # per-call (a jitted trace would bake step-0's masks in as constants) --
