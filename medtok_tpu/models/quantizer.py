@@ -183,14 +183,9 @@ class SoftVQQuantizer(nn.Module):
         )
         z_text_n = vq_ops.l2_normalize(z_flat_text.astype(jnp.float32))
         z_graph_n = vq_ops.l2_normalize(z_flat_graph.astype(jnp.float32))
-        if (c.use_kmeans and train and not self.is_initializing()
-                and self.is_mutable_collection("usage")):
-            self._ema_codebook_update(
-                jnp.concatenate([z_text_n, z_graph_n], axis=0),
-                jnp.concatenate(
-                    [q_text.indices[:, 0], q_graph.indices[:, 0]], axis=0
-                ),
-            )
+        # (use_kmeans EMA update happens in __call__, fed by ALL THREE
+        # quantization sites — shared alone starves the specific regions:
+        # measured on-chip, usage collapsed 0.156 -> 0.028 in 100 steps)
 
         # optional entropy regularizer input: full-codebook affinity (-d),
         # materialized only when the ratio is non-zero (train_MedTok.py:373
@@ -301,6 +296,30 @@ class SoftVQQuantizer(nn.Module):
         else:
             spec_text_aug = None
             spec_graph_aug = None
+
+        c = self.cfg
+        if (c.use_kmeans and train and not self.is_initializing()
+                and self.is_mutable_collection("usage")):
+            # Norm-EMA codebook write from ALL THREE quantization sites'
+            # top-1 assignments: shared (full codebook, pooled cross-attn
+            # features) + both specific paths (their region-local indices
+            # shifted to global rows). Feeding only the shared path starves
+            # the specific regions of EMA signal and the codebook collapses
+            # (measured on-chip: usage 0.156 -> 0.028 within 100 steps).
+            # Aug paths are excluded — their perturbed assignments would
+            # double-count the same samples.
+            g_off = c.codebook_size - c.codebook_size // 3
+            feats = jnp.concatenate([
+                shared_loss[2], shared_loss[3],     # z_text_n, z_graph_n
+                text_loss[2], graph_loss[2],        # specific z_p_n
+            ], axis=0)
+            top1 = jnp.concatenate([
+                shared_tokens["shared_text_tokens"][:, 0],
+                shared_tokens["shared_graph_tokens"][:, 0],
+                text_idx[:, 0],
+                graph_idx[:, 0] + g_off,
+            ], axis=0)
+            self._ema_codebook_update(feats, top1)
 
         return {
             "graph_feature": z_graph_embedding,

@@ -236,14 +236,54 @@ def test_kmeans_norm_ema_mode(tmp_path):
     np.testing.assert_allclose(               # norm-EMA keeps unit rows
         np.linalg.norm(w8, axis=-1), 1.0, atol=1e-5)
 
-    # 8-shard dp step == single-device step on the same global batch: the
-    # per-shard one-hot stats are psum'd BEFORE the EMA write, so the
-    # updated codebook must agree to reduction-order noise
-    mesh1, model1, state1 = build(1)
-    step1 = make_train_step(cfg, model1, mesh1, donate=False)
-    s1, _ = step1(state1, shard_batch(mesh1, batch))
-    w1 = np.asarray(s1.usage["quantize"]["ema_codebook"])
-    np.testing.assert_allclose(w8, w1, atol=1e-5)
+    # 8-shard dp == single-device on the same global features: drive the
+    # QUANTIZER directly with fixed inputs (the full-model comparison is
+    # polluted by per-shard GEMM tiling fp noise in the encoders, which
+    # flips near-tie top-1 assignments — the same reason torch DDP and
+    # single-GPU runs differ). With identical features, the psum'd one-hot
+    # stats must reproduce the single-device EMA write to reduction noise.
+    from functools import partial
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as Pspec
+
+    from medtok_tpu.models.quantizer import SoftVQQuantizer
+
+    qcfg = mcfg.quantizer
+    D = qcfg.codebook_embed_dim
+    rngq = np.random.default_rng(7)
+    zq = jnp.asarray(rngq.normal(size=(8, 2 * D)), jnp.float32)
+    tf = jnp.asarray(rngq.normal(size=(8, 6, D)), jnp.float32)
+    gf = jnp.asarray(rngq.normal(size=(8, 5, D)), jnp.float32)
+    tm = jnp.ones((8, 6), bool)
+    nm = jnp.ones((8, 5), bool)
+
+    def run_q(dp):
+        q = SoftVQQuantizer(qcfg, split=(D, D),
+                            dp_axis=DP_AXIS if dp > 1 else None)
+        variables = q.init(
+            {"params": jax.random.PRNGKey(0)}, zq, tf, gf, tm, nm,
+            train=False,
+        )
+
+        def fwd(z_, tf_, gf_, tm_, nm_):
+            _, mut = q.apply(variables, z_, tf_, gf_, tm_, nm_, train=True,
+                             mutable=["usage"])
+            return mut["usage"]["ema_codebook"]
+
+        if dp > 1:
+            mesh = make_mesh(dp=dp, tp=1)
+            fwd = shard_map(
+                fwd, mesh=mesh,
+                in_specs=(Pspec(DP_AXIS), Pspec(DP_AXIS), Pspec(DP_AXIS),
+                          Pspec(DP_AXIS), Pspec(DP_AXIS)),
+                out_specs=Pspec(),
+                check_vma=False,
+            )
+        return np.asarray(jax.jit(fwd)(zq, tf, gf, tm, nm))
+
+    wq8, wq1 = run_q(8), run_q(1)
+    np.testing.assert_allclose(wq8, wq1, atol=1e-5)
 
     # checkpoint round-trip carries the EMA state bitwise
     mgr = CheckpointManager(tmp_path, max_to_keep=2, config=cfg)
