@@ -584,7 +584,6 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
     heavy_tail), then by text length within a bucket; every quantizer
     program shape (Ct, node bucket) is pinned via force_shapes and compiled
     before the clock starts."""
-    from medtok_tpu.data.packing import pack_texts_meta
 
     R = int(os.environ.get("MEDTOK_BENCH_PACK_ROWS", 256))
     P, LMAX = 128, 64
@@ -756,7 +755,7 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
     step_counts: dict = {}
     from medtok_tpu.data.packing import take_group
 
-    def launch_group(group_texts, abs_idx, bi, epg, tg, tp):
+    def launch_group(abs_idx, bi, epg, tg, tp):
         """One (bert_step, quant_step) pair for a packed code group."""
         nonlocal carry, t_group, t_ptext, t_mkbatch, t_disp
         nonlocal n_steps, bert_tokens, real_tokens, vq_codes
@@ -764,8 +763,11 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
         C = c_bucket(len(abs_idx), bi)
         idxs = np.concatenate(
             [abs_idx, np.repeat(abs_idx[-1:], C - len(abs_idx))])
-        ids_np, base_np, lens_np = pack_texts_meta(
-            group_texts, row_len=P, num_rows=Rb,
+        # store-direct pack: rows gathered straight from the text-store
+        # arena (data/packing.py::pack_store_meta) — no per-code python
+        # arrays anywhere on the hot path (VERDICT r4 item 3)
+        ids_np, base_np, lens_np = dataset.pack_text_rows(
+            abs_idx, row_len=P, num_rows=Rb,
         )
         npad = C - len(abs_idx)
         base_c = np.concatenate([base_np, np.repeat(base_np[-1:], npad)])
@@ -797,7 +799,7 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
         t_disp += te - td
         n_steps += 1
         bert_tokens += Rb * P
-        real_tokens += int(sum(len(t) for t in group_texts))
+        real_tokens += int(lens_np.sum())
         vq_codes += C
         k = (bi, C, epg)
         step_counts[k] = step_counts.get(k, 0) + 1
@@ -809,12 +811,39 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
     # pack into full-size, edge-homogeneous groups.
     deferred_idx = {bi: [] for bi in range(1, len(NB))}
     deferred_ec = {bi: [] for bi in range(1, len(NB))}
+
+    # shard s+1 tokenizes on a background thread while shard s's steps
+    # launch: the C++ encode releases the GIL and the main thread spends
+    # long stretches blocked in the pool fence (also GIL-free), so the
+    # two genuinely overlap on the single host core. t_tok then measures
+    # only the JOIN stall — the serialization the pipeline failed to hide
+    # — while tok_encode keeps the true encode cost.
+    import threading
+
+    prefetch: threading.Thread | None = None
+
+    def _start_prefetch(s):
+        nonlocal prefetch
+        if s >= NSHARDS:
+            prefetch = None
+            return
+        lo_n, hi_n = int(bounds[s]), int(bounds[s + 1])
+        prefetch = threading.Thread(
+            target=dataset.tokenize_rows, args=(range(lo_n, hi_n),),
+            daemon=True,
+        )
+        prefetch.start()
+
     for s in range(NSHARDS):
         note(f"bench: shard {s}")
         lo, hi = int(bounds[s]), int(bounds[s + 1])
         tt = time.perf_counter()
         enc0 = _tok_stats()["encode_s"]
-        dataset.tokenize_rows(range(lo, hi))
+        if prefetch is None:
+            dataset.tokenize_rows(range(lo, hi))
+        else:
+            prefetch.join()
+        _start_prefetch(s + 1)
         try:
             with open("/proc/self/status") as f:
                 rss = next(int(ln.split()[1]) // 1024 for ln in f
@@ -823,7 +852,6 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
             rss = -1
         note(f"bench: shard {s} tokenized ({time.perf_counter() - tt:.1f}s, "
              f"encode {_tok_stats()['encode_s'] - enc0:.1f}s, rss {rss}MB)")
-        texts = [dataset.text_ids(i) for i in range(lo, hi)]
         lens = dataset.text_lengths(lo, hi)
         nsizes = dataset.node_counts(lo, hi)
         # induced-edge counts (one native pass; ln = last bucket, which
@@ -864,8 +892,7 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
                 group = order[i:j]
                 i = j
                 tp = time.perf_counter()
-                launch_group([texts[int(g)] for g in group], group + lo,
-                             0, subs[ei], tg, tp)
+                launch_group(group + lo, 0, subs[ei], tg, tp)
 
     # ---- deferred heavy-tail pass (globally pooled groups) ----
     for bi in range(1, len(NB)):
@@ -897,8 +924,7 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
                 i = j
                 abs_idx = idxs_all[group]
                 tp = time.perf_counter()
-                launch_group([dataset.text_ids(int(a)) for a in abs_idx],
-                             abs_idx, bi, subs[ei], tg, tp)
+                launch_group(abs_idx, bi, subs[ei], tg, tp)
     checksum = float(carry)
     wall = time.perf_counter() - t0
     assert np.isfinite(checksum)

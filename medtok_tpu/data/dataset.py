@@ -316,6 +316,20 @@ class MedCodeDataset:
             return self._node_arena[o[idx]:o[idx + 1]]
         return np.sort(np.asarray(list(self.df.iloc[idx]["pkg_index_list"]), np.int64))
 
+    def pack_text_rows(self, indices, *, row_len: int, num_rows: int):
+        """Pack the (already-tokenized) descriptions of ``indices`` into
+        fixed [num_rows, row_len] BERT rows straight from the text-store
+        arena — the host half of the packed export step with zero per-code
+        python (data/packing.py::pack_store_meta). Returns
+        (input_ids [R, P] int32, flat_base [B] int32, lens [B] int32)."""
+        from medtok_tpu.data.packing import pack_store_meta
+
+        t = self._text
+        return pack_store_meta(
+            t.arena, t.start, t.length, np.asarray(indices, np.int64),
+            row_len=row_len, num_rows=num_rows,
+        )
+
     def text_ids(self, idx: int) -> np.ndarray:
         if idx not in self._text:
             ids, _ = self._encoder.encode(

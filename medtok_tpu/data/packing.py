@@ -143,6 +143,66 @@ def pack_texts_meta(
     )
 
 
+def pack_store_meta(
+    arena: np.ndarray,
+    start: np.ndarray,
+    length: np.ndarray,
+    rows_idx: np.ndarray,
+    *,
+    row_len: int = 128,
+    num_rows: int | None = None,
+):
+    """Store-direct :func:`pack_texts_meta`: packs descriptions straight out
+    of a ``_TextStore``-style (arena, start, length) triple without ever
+    materializing per-code token arrays.
+
+    Same greedy sequential fill and identical outputs to ``pack_texts_meta``
+    (tested side by side), but the per-item python walk is replaced by one
+    ``searchsorted`` per ROW (~256 iterations instead of ~1500 at production
+    group shapes) and the B small-array concatenate by a single fancy-index
+    gather from the arena. At 600K-code export scale the host was spending
+    ~2 s building python lists of arena views plus ~2 s in the per-item
+    loop; this path removes both (the host half of VERDICT r4 item 3).
+
+    Returns (input_ids [R, P] int32, flat_base [B] int32, lens [B] int32).
+    """
+    rows_idx = np.asarray(rows_idx, np.int64)
+    B = len(rows_idx)
+    lens = length[rows_idx].astype(np.int64)
+    if B and lens.max(initial=0) > row_len:
+        raise ValueError(f"description longer than row_len={row_len}")
+    cum = np.zeros(B + 1, np.int64)
+    np.cumsum(lens, out=cum[1:])
+
+    # greedy fill: items i..j-1 share a row where cum[j]-cum[i] <= row_len,
+    # j maximal ('right' also sweeps trailing zero-length items into the
+    # current row, matching the sequential walk)
+    flat_base = np.empty(B, np.int64)
+    i = 0
+    row = 0
+    while i < B:
+        j = int(np.searchsorted(cum, cum[i] + row_len, side="right")) - 1
+        flat_base[i:j] = row * row_len + (cum[i:j] - cum[i])
+        row += 1
+        i = j
+    R = num_rows if num_rows is not None else row
+    if row > R:
+        raise ValueError(f"packing needs {row} rows > num_rows={R}")
+
+    input_ids = np.zeros(R * row_len, np.int32)
+    if B:
+        total = int(cum[-1])
+        code_of = np.repeat(np.arange(B), lens)
+        within = np.arange(total) - cum[code_of]
+        src = start[rows_idx][code_of] + within
+        input_ids[flat_base[code_of] + within] = arena[src]
+    return (
+        input_ids.reshape(R, row_len),
+        flat_base.astype(np.int32),
+        lens.astype(np.int32),
+    )
+
+
 def pack_code_batch(
     input_ids: np.ndarray,        # [B, Lt] padded WordPiece ids
     attention_mask: np.ndarray,   # [B, Lt] 1 = real token

@@ -126,7 +126,7 @@ def _export_all_packed(
     import jax.numpy as jnp
 
     from medtok_tpu.data.compact import derive_packed_meta, unpack_compact
-    from medtok_tpu.data.packing import pack_texts_meta, take_group
+    from medtok_tpu.data.packing import take_group
     from medtok_tpu.parallel.mesh import batch_sharding, replicated
 
     n = len(dataset)
@@ -208,8 +208,7 @@ def _export_all_packed(
         quant_step = None
 
     dataset.warm_cache(tokenize=True)
-    texts = [dataset.text_ids(i) for i in range(n)]
-    lens = np.fromiter((len(t) for t in texts), np.int64, n)
+    lens = dataset.text_lengths(0, n)
     order = np.argsort(lens, kind="stable")
 
     inflight: list[tuple[np.ndarray, TokenizedCodes]] = []
@@ -229,9 +228,10 @@ def _export_all_packed(
         C = c_bucket(len(group))
         pad = np.repeat(group[-1:], C - len(group))
         idxs = np.concatenate([group, pad])
-        ids_np, base_np, lens_np = pack_texts_meta(
-            [texts[int(g)] for g in group], row_len=row_len,
-            num_rows=num_rows,
+        # store-direct pack: rows gathered straight from the text-store
+        # arena, no per-code python arrays (data/packing.py::pack_store_meta)
+        ids_np, base_np, lens_np = dataset.pack_text_rows(
+            group, row_len=row_len, num_rows=num_rows,
         )
         base_c = np.concatenate(
             [base_np, np.repeat(base_np[-1:], C - len(group))])

@@ -221,3 +221,87 @@ def test_derive_packed_meta_duplicate_padding_codes():
 
     np.testing.assert_array_equal(pmask(seg), pmask(p.seg_ids))
     np.testing.assert_array_equal(np.asarray(pos), p.pos_ids)
+
+
+def test_pack_store_meta_matches_pack_texts_meta():
+    """The store-direct packer (arena + start/length triple, searchsorted
+    row fill) must reproduce pack_texts_meta bit-for-bit — including rows
+    selected out of order (length-sorted export order), duplicate rows
+    (batch padding repeats the last code), and a row that exactly fills a
+    pack row."""
+    from medtok_tpu.data.packing import pack_store_meta, pack_texts_meta
+
+    rng = np.random.default_rng(11)
+    P, R = 32, 14
+    n = 61
+    lens = rng.integers(1, 13, n)
+    lens[7] = P                      # exactly one full row
+    starts = np.zeros(n, np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    arena = rng.integers(1, 30000, int(lens.sum())).astype(np.int16)
+    lists = [
+        np.asarray(arena[starts[i]:starts[i] + lens[i]], np.int32)
+        for i in range(n)
+    ]
+
+    for seed in range(3):
+        order = np.random.default_rng(seed).permutation(n)[:43]
+        order = np.concatenate([order, order[-1:].repeat(5)])  # dup padding
+        ref = pack_texts_meta([lists[i] for i in order], row_len=P)
+        rows_needed = ref[0].shape[0]
+        got = pack_store_meta(arena, starts, lens.astype(np.int32),
+                              order, row_len=P)
+        for a, b in zip(got, ref):
+            np.testing.assert_array_equal(a, b)
+        assert got[0].dtype == np.int32
+        # padded-row variant (the bench/export call shape)
+        ref_p = pack_texts_meta([lists[i] for i in order], row_len=P,
+                                num_rows=rows_needed + R)
+        got_p = pack_store_meta(arena, starts, lens.astype(np.int32),
+                                order, row_len=P, num_rows=rows_needed + R)
+        for a, b in zip(got_p, ref_p):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_pack_store_meta_overflow_and_overlong():
+    from medtok_tpu.data.packing import pack_store_meta
+
+    arena = np.arange(100, dtype=np.int16)
+    starts = np.asarray([0, 40], np.int64)
+    lens = np.asarray([40, 40], np.int32)
+    with pytest.raises(ValueError, match="longer than row_len"):
+        pack_store_meta(arena, starts, lens, np.asarray([0, 1]),
+                        row_len=32, num_rows=4)
+    with pytest.raises(ValueError, match="rows"):
+        pack_store_meta(arena, starts, lens, np.asarray([0, 1]),
+                        row_len=64, num_rows=1)
+
+
+def test_dataset_pack_text_rows_matches_per_code_path(tmp_path):
+    """MedCodeDataset.pack_text_rows == pack_texts_meta over text_ids()
+    views for a real (synthetic-frame) dataset after tokenization."""
+    from medtok_tpu.config import DataConfig
+    from medtok_tpu.data.dataset import MedCodeDataset
+    from medtok_tpu.data.packing import pack_texts_meta
+    from medtok_tpu.data.synthetic import (
+        MEDICAL_WORDS, synthetic_kg, synthetic_vocab_frame,
+    )
+    from medtok_tpu.data.text import WordPieceTokenizer, make_test_vocab
+
+    rng = np.random.default_rng(3)
+    df = synthetic_vocab_frame(rng, num_codes=64, num_kg_nodes=128)
+    df.to_parquet(tmp_path / "codes.parquet")
+    kg = synthetic_kg(rng, num_nodes=128, num_edges=256)
+    tok = WordPieceTokenizer(make_test_vocab(MEDICAL_WORDS))
+    ds = MedCodeDataset(
+        kg, tmp_path / "codes.parquet", tok,
+        cfg=DataConfig(text_buckets=(16, 64), node_buckets=(8, 16),
+                       edge_buckets=(16, 64), max_text_length=64),
+    )
+    ds.tokenize_rows(range(64))
+    order = np.argsort(ds.text_lengths(0, 64), kind="stable")[:40]
+    ref = pack_texts_meta([ds.text_ids(int(i)) for i in order],
+                          row_len=64, num_rows=40)
+    got = ds.pack_text_rows(order, row_len=64, num_rows=40)
+    for a, b in zip(got, ref):
+        np.testing.assert_array_equal(a, b)
