@@ -485,6 +485,10 @@ def train_sustained_block(jax, jnp) -> dict:
         ("TRAIN_SUSTAINED_KMEANS.json", "train_sustained_kmeans",
          "precomputed: scripts/run_train_sustained.sh (KMEANS=1 — "
          "kmeans-init + norm-EMA codebook, VERDICT r4 item 6)"),
+        ("TRAIN_SUSTAINED_KMEANS_REVIVAL.json",
+         "train_sustained_kmeans_revival",
+         "precomputed: scripts/run_train_sustained.sh (REVIVAL=1 — "
+         "kmeans + norm-EMA + CVQ dead-code revival)"),
     ):
         p = os.path.join(docs, fname)
         if os.path.exists(p):

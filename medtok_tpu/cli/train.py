@@ -45,6 +45,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--codebook-embed-dim", type=int, default=64)
     p.add_argument("--commit-loss-beta", type=float, default=0.25)
     p.add_argument("--entropy-loss-ratio", type=float, default=0.0)
+    p.add_argument("--kmeans", action="store_true",
+                   help="kmeans-init + norm-EMA codebook (the completed "
+                        "--kmeans mode; the reference flag swaps in an "
+                        "EmbeddingEMA whose updates are never wired, "
+                        "vector_quantization_soft_one_new.py:109-111)")
+    p.add_argument("--codebook-revival", action="store_true",
+                   help="dead-code revival for the EMA codebook "
+                        "(CVectorQuantiser closest-anchor mechanics); "
+                        "requires --kmeans")
     p.add_argument("--shared-loss-beta", type=float, default=0.1)
     p.add_argument("--specific-loss-lamb", type=float, default=0.1)
     p.add_argument("--epochs", type=int, default=50)
@@ -124,6 +133,8 @@ def config_from_args(args) -> "MedTokConfig":
                 codebook_embed_dim=args.codebook_embed_dim,
                 commit_loss_beta=args.commit_loss_beta,
                 entropy_loss_ratio=args.entropy_loss_ratio,
+                use_kmeans=args.kmeans,
+                codebook_revival=args.codebook_revival,
             ),
             compute_dtype="bfloat16" if args.mixed_precision == "bf16" else "float32",
             text_dropout_in_train=args.text_dropout_in_train,
@@ -220,6 +231,15 @@ def main(argv=None) -> None:
         process_count=jax.process_count(),
     )))
     state = trainer.init_state(example)
+    if args.kmeans and int(state.step) == 0:
+        # cosine-kmeans codebook init from the first batch's shared
+        # features (the reference's kmeans=True constructs EmbeddingEMA but
+        # never calls init_embed_; a resumed run keeps its checkpointed
+        # codebook instead)
+        from medtok_tpu.train.trainer import kmeans_init_codebook
+
+        state = kmeans_init_codebook(trainer.model, state, [example])
+        logger.info("kmeans codebook init done")
     if args.bert_checkpoint:
         import torch
 

@@ -80,6 +80,14 @@ class QuantizerConfig:
     # path's top-1 assignments each train step, psum'd over dp).
     use_kmeans: bool = False
     codebook_ema_decay: float = 0.99  # norm_ema_quantizer.py:166 default
+    # Dead-code revival for the EMA codebook (CVectorQuantiser anchor
+    # mechanics, norm_ema_quantizer.py:374-397): codewords whose EMA
+    # assignment probability decays toward zero are rewritten toward the
+    # batch feature with the highest affinity ('closest' anchor). Measured
+    # necessary at scale: without it the norm-EMA codebook's unassigned
+    # rows stay frozen forever and on-chip usage collapses to ~2-3%
+    # (docs/TRAIN_SUSTAINED_KMEANS.json baseline).
+    codebook_revival: bool = False
     # distance+top-k sweep backend: 'auto' (pallas on TPU when the shape pays
     # off, see ops/vq._use_pallas), 'xla', or 'pallas'
     topk_backend: str = "auto"

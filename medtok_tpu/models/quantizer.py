@@ -65,6 +65,16 @@ class SoftVQQuantizer(nn.Module):
                 "usage", "ema_cluster",
                 lambda: jnp.zeros((c.codebook_size,), jnp.float32),
             )
+            if c.codebook_revival:
+                # EMA of per-code assignment probability (CVectorQuantiser
+                # embed_prob, norm_ema_quantizer.py:377-379). Zero init =
+                # every code is revival-eligible on the first batch — the
+                # same data-driven re-init the reference's init=False
+                # default produces.
+                self.ema_embed_prob = self.variable(
+                    "usage", "ema_embed_prob",
+                    lambda: jnp.zeros((c.codebook_size,), jnp.float32),
+                )
         else:
             # torch nn.Embedding init is N(0, 1) (vq...py:115)
             self.codebook = self.param(
@@ -127,12 +137,41 @@ class SoftVQQuantizer(nn.Module):
         bins_c = jnp.where(zero, 1.0, bins)
         embed_normalized = vq_ops.l2_normalize((embed_sum / bins_c[None, :]).T)
         embed_normalized = jnp.where(zero[:, None], w, embed_normalized)
-        self.ema_codebook.value = norm_ema_update(
-            w, embed_normalized, c.codebook_ema_decay
-        )
+        new_w = norm_ema_update(w, embed_normalized, c.codebook_ema_decay)
         self.ema_cluster.value = ema_update(
             self.ema_cluster.value, bins, c.codebook_ema_decay
         )
+        if c.codebook_revival:
+            # Dead-code revival (CVectorQuantiser 'closest' anchor,
+            # norm_ema_quantizer.py:381-396): codes whose EMA assignment
+            # probability has decayed get rewritten toward the feature with
+            # the highest affinity. Deviations from the reference, on
+            # purpose: (a) avg_probs comes from the psum'd bins, and the
+            # anchor pool is the all-gathered global batch, so dp-sharded
+            # and single-device runs stay bitwise identical (the reference's
+            # per-rank embed_prob/anchor silently diverges under DDP until
+            # the next rank-0 buffer broadcast); (b) the revived row is
+            # re-normalized — this codebook keeps an l2-unit invariant the
+            # reference's CVQ class doesn't have.
+            total = jnp.maximum(jnp.sum(bins), 1.0)
+            avg_probs = bins / total
+            new_prob = ema_update(
+                self.ema_embed_prob.value, avg_probs, c.codebook_ema_decay
+            )
+            self.ema_embed_prob.value = new_prob
+            feats = flat_n
+            if self.dp_axis is not None:
+                feats = jax.lax.all_gather(feats, self.dp_axis, tiled=True)
+            aff = feats @ new_w.T                       # [M, C], D small
+            anchor = feats[jnp.argmax(aff, axis=0)]     # [C, D]
+            revive = jnp.exp(
+                -(new_prob * c.codebook_size * 10.0)
+                / (1.0 - c.codebook_ema_decay) - 1e-3
+            )[:, None]                                   # (ref :395)
+            new_w = vq_ops.l2_normalize(
+                new_w * (1.0 - revive) + anchor * revive
+            )
+        self.ema_codebook.value = new_w
 
     # -- usage FIFO (vq...py:219-236); mutable only when 'usage' collection is.
     def _track_usage(self, indices: jax.Array) -> jax.Array:

@@ -17,9 +17,16 @@ B_STEPS=${B_STEPS:-1200}
 # the EMA codebook/cluster state (non-gradient, usage collection) restores
 # bitwise, since the step-for-step trajectory depends on it.
 KMEANS=${KMEANS:-0}
+# REVIVAL=1 (implies KMEANS=1): dead-code revival on the EMA codebook
+# (QuantizerConfig.codebook_revival) — the variant that keeps usage healthy.
+REVIVAL=${REVIVAL:-0}
 KM_FLAG=""
 OUT_JSON=docs/TRAIN_SUSTAINED.json
-if [ "$KMEANS" = "1" ]; then
+if [ "$REVIVAL" = "1" ]; then
+  KM_FLAG="--kmeans --revival"
+  OUT_JSON=docs/TRAIN_SUSTAINED_KMEANS_REVIVAL.json
+  ROOT=${ROOT:-/tmp/train_sustained_kmr}
+elif [ "$KMEANS" = "1" ]; then
   KM_FLAG="--kmeans"
   OUT_JSON=docs/TRAIN_SUSTAINED_KMEANS.json
   ROOT=${ROOT:-/tmp/train_sustained_km}

@@ -122,7 +122,8 @@ def cmd_run(args) -> None:
         # state carried through checkpoints (models/quantizer.py)
         mcfg = dataclasses.replace(
             mcfg, quantizer=dataclasses.replace(
-                mcfg.quantizer, use_kmeans=True))
+                mcfg.quantizer, use_kmeans=True,
+                codebook_revival=args.revival))
     cfg = MedTokConfig(model=mcfg, train=TrainConfig(
         global_batch_size=args.batch,
         log_every=args.log_every,
@@ -246,6 +247,9 @@ def main() -> None:
     r.add_argument("--kmeans", action="store_true",
                    help="completed --kmeans mode: kmeans-init + norm-EMA "
                         "codebook (non-grad state)")
+    r.add_argument("--revival", action="store_true",
+                   help="dead-code revival on the EMA codebook "
+                        "(QuantizerConfig.codebook_revival; needs --kmeans)")
     c = sub.add_parser("compare")
     c.add_argument("--a", required=True)
     c.add_argument("--b", required=True)

@@ -349,3 +349,101 @@ def test_training_converges_tiny():
         losses.append(float(m["loss"]))
     assert losses[-1] < 0.5 * losses[0], (losses[0], losses[-1])
     assert np.isfinite(losses).all()
+
+
+def test_codebook_revival_revives_dead_codes():
+    """codebook_revival (CVectorQuantiser closest-anchor mechanics,
+    norm_ema_quantizer.py:374-397, wired into the completed --kmeans mode):
+    without it, norm-EMA codewords that never win an assignment are frozen
+    forever (the on-chip collapse baseline, docs/TRAIN_SUSTAINED_KMEANS);
+    with it, their EMA usage probability decays and they get rewritten
+    toward the highest-affinity batch feature. dp8 == dp1 must hold (the
+    anchor pool is the all-gathered global batch, stats are psum'd)."""
+    from functools import partial
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as Pspec
+
+    from medtok_tpu.models.quantizer import SoftVQQuantizer
+    from tests.test_model import tiny_config
+
+    def quant_cfg(revival):
+        return tiny_config(
+            use_kmeans=True, codebook_revival=revival,
+            cross_attn_dropout=0.0,
+        ).quantizer
+
+    D = quant_cfg(False).codebook_embed_dim
+    rngq = np.random.default_rng(7)
+    # features concentrated in ONE orthant: most of the 90 codewords never
+    # win an assignment
+    zq = jnp.asarray(np.abs(rngq.normal(size=(8, 2 * D))) + 1.0, jnp.float32)
+    tf = jnp.asarray(np.abs(rngq.normal(size=(8, 6, D))) + 1.0, jnp.float32)
+    gf = jnp.asarray(np.abs(rngq.normal(size=(8, 5, D))) + 1.0, jnp.float32)
+    tm = jnp.ones((8, 6), bool)
+    nm = jnp.ones((8, 5), bool)
+
+    def run_q(revival, dp, steps=3):
+        qcfg = quant_cfg(revival)
+        q = SoftVQQuantizer(qcfg, split=(D, D),
+                            dp_axis=DP_AXIS if dp > 1 else None)
+        variables = q.init(
+            {"params": jax.random.PRNGKey(0)}, zq, tf, gf, tm, nm,
+            train=False,
+        )
+        params = variables["params"]
+        usage = variables["usage"]
+
+        def fwd(usage_, z_, tf_, gf_, tm_, nm_):
+            _, mut = q.apply(
+                {"params": params, "usage": usage_}, z_, tf_, gf_, tm_, nm_,
+                train=True, mutable=["usage"],
+            )
+            return mut["usage"]
+
+        if dp > 1:
+            mesh = make_mesh(dp=dp, tp=1)
+            fwd = shard_map(
+                fwd, mesh=mesh,
+                in_specs=(Pspec(), Pspec(DP_AXIS), Pspec(DP_AXIS),
+                          Pspec(DP_AXIS), Pspec(DP_AXIS), Pspec(DP_AXIS)),
+                out_specs=Pspec(),
+                check_vma=False,
+            )
+        fwd = jax.jit(fwd)
+        w0 = np.asarray(usage["ema_codebook"]).copy()
+        for _ in range(steps):
+            u = fwd(usage, zq, tf, gf, tm, nm)
+            usage = jax.tree.map(lambda a: a, u)  # thread updated state
+        return w0, np.asarray(usage["ema_codebook"]), usage
+
+    # OFF: codewords that never win stay bitwise frozen
+    w0, w_off, u_off = run_q(False, dp=1)
+    frozen = np.all(w_off == w0, axis=-1)
+    assert frozen.sum() > 40          # most of the codebook is dead
+    assert "ema_embed_prob" not in u_off
+
+    # ON: the same dead codes move toward the data orthant
+    _, w_on, u_on = run_q(True, dp=1)
+    assert "ema_embed_prob" in u_on
+    moved = ~np.all(w_on == w0, axis=-1)
+    assert moved.all()                # revival rewrites every dead code
+    np.testing.assert_allclose(       # unit-row invariant preserved
+        np.linalg.norm(w_on, axis=-1), 1.0, atol=1e-5)
+    # revival redistributes codes onto the data: assignments spread over
+    # strictly more distinct codewords than the frozen-dead-code baseline
+    winners_on = int((np.asarray(u_on["ema_cluster"]) > 0).sum())
+    winners_off = int((np.asarray(u_off["ema_cluster"]) > 0).sum())
+    assert winners_on > winners_off
+
+    # dp8 == dp1 on identical global features. Tolerance is looser than the
+    # plain-EMA leg (1e-5): the EMA write AVERAGES features (per-shard GEMM
+    # tiling noise ~1e-7 stays ~1e-7), but revival COPIES the single
+    # highest-affinity feature into a codeword — so the same projection
+    # noise both propagates at full magnitude and flips near-tie anchor
+    # argmaxes between two affinity-tied features (measured: ~11% of
+    # entries differ, max |diff| 7e-4).
+    _, w_dp8, _ = run_q(True, dp=8)
+    np.testing.assert_allclose(w_dp8, w_on, atol=2e-3)
+    np.testing.assert_allclose(
+        np.linalg.norm(w_dp8, axis=-1), 1.0, atol=1e-5)
