@@ -50,15 +50,36 @@ def parse_bench(path: Path) -> dict | None:
 
 def latest_bench() -> tuple[str, dict]:
     benches = sorted(ROOT.glob("BENCH_r*.json"))
-    if not benches:
-        sys.exit("no BENCH_r*.json found")
-    # Newest artifact whose headline survived the driver's stdout capture
+    # Newest driver artifact whose headline survived the stdout capture
     # (BENCH_r04's giant single line was truncated away — VERDICT r4 item 1).
+    driver: tuple[Path, dict] | None = None
     for path in reversed(benches):
         d = parse_bench(path)
         if d is not None:
-            return path.name, d
-    sys.exit("no BENCH_r*.json with a parseable headline line")
+            driver = (path, d)
+            break
+    # An in-session `python bench.py` run mirrors its full dict to
+    # docs/BENCH_FULL.json; when that sidecar is NEWER than every driver
+    # artifact it is the freshest measurement on this chip — use it (the
+    # driver's next end-of-round run becomes BENCH_r{N+1} and wins again).
+    sidecar = ROOT / "docs" / "BENCH_FULL.json"
+    if sidecar.exists():
+        newer = all(
+            sidecar.stat().st_mtime > p.stat().st_mtime for p in benches
+        )
+        if newer:
+            d = json.loads(sidecar.read_text())
+            if isinstance(d, dict) and "value" in d:
+                tag = "docs/BENCH_FULL.json (in-session run"
+                if driver is not None:
+                    tag += (
+                        "; latest parseable driver artifact "
+                        f"{driver[0].name}"
+                    )
+                return tag + ")", d
+    if driver is not None:
+        return driver[0].name, driver[1]
+    sys.exit("no parseable bench artifact found")
 
 
 def fmt(x, nd=1):
@@ -134,6 +155,19 @@ def build_table(src: str, d: dict) -> str:
             f"{fmt(ts['steps_per_sec_median'], 2)} steps/s; SIGKILL+resume "
             + ("**bitwise-equal**" if ts.get("resume_equal")
                else f"max rel err {ts.get('resume_max_rel_err', 'n/a')}"),
+        ))
+    km = d.get("train_sustained_kmeans")
+    kr = d.get("train_sustained_kmeans_revival")
+    if km and kr:
+        rows.append((
+            "kmeans/norm-EMA sustained variant (same harness)",
+            f"plain: loss {fmt(km['loss_first'], 1)} → "
+            f"{fmt(km['loss_final'], 1)}, usage "
+            f"{fmt(km['usage_shared_final'], 3)} (dead-code freeze); "
+            f"+revival: loss → **{fmt(kr['loss_final'], 2)}**, usage "
+            f"**{fmt(kr['usage_shared_final'], 3)}**; both resumes "
+            + ("bitwise-equal" if km.get("resume_equal")
+               and kr.get("resume_equal") else "NOT bitwise"),
         ))
     lines = [START, f"Source: `{src}` (driver-captured; regenerate with "
                     f"`python scripts/gen_headline.py`).", "",
