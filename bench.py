@@ -825,16 +825,29 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
     import threading
 
     prefetch: threading.Thread | None = None
+    staged_meta: dict = {}
+
+    def _stage_shard(s):
+        """Tokenize + stage shard s's grouping metadata (lens / node
+        counts / induced-edge counts — the native passes all release the
+        GIL). Runs on the prefetch thread for s >= 1."""
+        lo_s, hi_s = int(bounds[s]), int(bounds[s + 1])
+        dataset.tokenize_rows(range(lo_s, hi_s))
+        staged_meta[s] = (
+            dataset.text_lengths(lo_s, hi_s),
+            dataset.node_counts(lo_s, hi_s),
+            # ln = last bucket, which equals every bucket's own cap for its
+            # codes; drives the epg sub-bucket choice
+            dataset.edge_counts(lo_s, hi_s, ln=int(NB[-1])),
+        )
 
     def _start_prefetch(s):
         nonlocal prefetch
         if s >= NSHARDS:
             prefetch = None
             return
-        lo_n, hi_n = int(bounds[s]), int(bounds[s + 1])
         prefetch = threading.Thread(
-            target=dataset.tokenize_rows, args=(range(lo_n, hi_n),),
-            daemon=True,
+            target=_stage_shard, args=(s,), daemon=True,
         )
         prefetch.start()
 
@@ -844,7 +857,7 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
         tt = time.perf_counter()
         enc0 = _tok_stats()["encode_s"]
         if prefetch is None:
-            dataset.tokenize_rows(range(lo, hi))
+            _stage_shard(s)
         else:
             prefetch.join()
         _start_prefetch(s + 1)
@@ -856,12 +869,7 @@ def run_packed_sweep(jax, jnp, model, params, usage, dataset) -> dict:
             rss = -1
         note(f"bench: shard {s} tokenized ({time.perf_counter() - tt:.1f}s, "
              f"encode {_tok_stats()['encode_s'] - enc0:.1f}s, rss {rss}MB)")
-        lens = dataset.text_lengths(lo, hi)
-        nsizes = dataset.node_counts(lo, hi)
-        # induced-edge counts (one native pass; ln = last bucket, which
-        # equals every bucket's own cap for its codes) drive the epg
-        # sub-bucket choice
-        ecounts = dataset.edge_counts(lo, hi, ln=int(NB[-1]))
+        lens, nsizes, ecounts = staged_meta.pop(s)
         t_tok += time.perf_counter() - tt
         bucket_of = np.searchsorted(np.asarray(NB), nsizes)
         bucket_of = np.minimum(bucket_of, len(NB) - 1)
